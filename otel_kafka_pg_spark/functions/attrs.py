@@ -1,0 +1,76 @@
+"""Attribute maps: construction, precedence merge, canonical JSON.
+
+The reference stores heterogeneous attributes as JSONB built with
+``json.Marshal`` over a Go map (reference: modules/log/domain/log.go:49-54).
+The merge precedence is ASYMMETRIC between signal types:
+
+- traces: resource attrs merged OVER span attrs — resource wins
+  (reference: processor.go:116-119, unconditional overwrite);
+- logs: resource attrs merged UNDER record attrs — record wins
+  (reference: processor.go:213-218, ``if !exists`` guard).
+
+We keep attrs as ``map<string,string>`` through the plan (JVM-side) and
+render one canonical sorted-key JSON string only at the sink boundary so
+value hashes are ordering-stable. ``map_concat`` with
+``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session.py) gives
+last-write-wins — the later argument wins, which encodes the precedence.
+
+Note: canonicalization does not escape quotes/backslashes inside keys or
+values — attribute content here is machine-generated tokens (hex ids,
+severities, tool names). Documented limitation, asserted by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def record_attrs_map() -> Column:
+    """Per-row attrs from parsed fields — the span/record-side attribute map.
+
+    Mirrors the reference's flattening of record attributes plus scope
+    prefixing (processor.go:220-229): keys are plain for record-level
+    values.
+    """
+    pairs = [
+        (F.lit("role"), F.col("role")),
+        (F.lit("severity"), F.col("severity")),
+        (F.lit("status"), F.col("status")),
+        (F.lit("source"), F.lit("record")),
+    ]
+    m = F.create_map(*[x for kv in pairs for x in kv])
+    # optional keys only when present (reference omits absent attrs)
+    m = F.when(F.col("call_tool") != "", F.map_concat(m, F.create_map(F.lit("call.tool"), F.col("call_tool")))).otherwise(m)
+    m = F.when(F.col("tool").isNotNull(), F.map_concat(m, F.create_map(F.lit("tool"), F.col("tool")))).otherwise(m)
+    return m
+
+
+def resource_attrs_map(json_col: str = "resource_attrs") -> Column:
+    """Broadcast-lookup resource attrs (JSON string) → map<string,string>."""
+    return F.coalesce(
+        F.from_json(F.col(json_col), "map<string,string>"),
+        F.from_json(F.lit("{}"), "map<string,string>"),
+    )
+
+
+def merge_attrs(record: Column, resource: Column, resource_wins: bool) -> Column:
+    """Precedence merge. resource_wins=True → trace flavor (P7);
+    False → log flavor (P8). LAST_WIN dedup: later argument wins."""
+    if resource_wins:
+        return F.map_concat(record, resource)
+    return F.map_concat(resource, record)
+
+
+def canonical_json(m: Column) -> Column:
+    """map<string,string> → deterministic sorted-key JSON string.
+
+    Pure JVM expression (array_sort over map_entries sorts by key), so the
+    canonical form is stable regardless of shuffle or map build order —
+    required for order-insensitive value hashing and row-set equality.
+    """
+    entries = F.array_sort(F.map_entries(m))
+    rendered = F.transform(
+        entries, lambda e: F.concat(F.lit('"'), e.key, F.lit('":"'), e.value, F.lit('"'))
+    )
+    return F.concat(F.lit("{"), F.concat_ws(",", rendered), F.lit("}"))

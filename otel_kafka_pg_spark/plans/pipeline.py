@@ -1,0 +1,149 @@
+"""The flagship job: parse → enrich → route → aggregate, with resume.
+
+This is the batch re-expression of the reference's ingest path
+(Kafka poll → decode → buffer → flush → Postgres upsert, reference:
+consumer.go:162-329). One lazily-built DAG:
+
+    read parquet
+      → salted repartition on (conv_id, hash(turn_idx) % S)   [skew defense]
+      → vectorized parse of text                              [decoder batch]
+      → window(conv_id, turn_idx) stable ordering             [row-for-row parity]
+      → broadcast-join enrich on (tool, role)                 [resource attrs]
+      → classify signal_type                                  [topic dispatch]
+      → persist                                               [one scan, 3 sinks]
+      → per-sink filtered write + per-sink aggregate counts   [flush + count logs]
+      → manifest entry per sink                               [checkpoint/lineage]
+
+Scale notes (the plan that must survive 1000 executors / 100 TB):
+- the only wide operations are the initial repartition, the ordering window
+  (shuffle by conv_id), and the counts aggregation (map-side partial);
+  parse/enrich/route/write are pipelined narrow stages under whole-stage
+  codegen (native parse) or Arrow batches (pandas parse).
+- the enrich join is a broadcast hash join by construction — no shuffle of
+  the fact side, no skew exposure.
+- fan-out materializes the routed frame once (persist) and scans it three
+  times; at cluster scale the persist level spills to disk gracefully.
+- writes are per-sink parquet (Iceberg-ready: swap the writer for
+  ``writeTo(...).append()`` — the manifest/resume logic is sink-agnostic).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.enrich import enrich_with_lookup
+from ..operators.order import salted_repartition, with_stable_order
+from ..operators.route import SINK_BUILDERS, classify_signal, sink_counts
+from ..sources.synth import service_lookup_pandas
+from .manifest import (
+    content_hash,
+    input_fingerprint,
+    load_manifest,
+    partition_lineage,
+    save_manifest,
+)
+
+
+class SinkFailure(RuntimeError):
+    """Test hook: injected failure between sink writes (resume testing)."""
+
+
+def build_routed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    lookup: DataFrame | None = None,
+    parse_impl: str = "native",
+    salt_buckets: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Compose the full transform DAG up to (but excluding) the sinks."""
+    from ..functions.parse import parse_turns
+
+    if lookup is None:
+        lookup = spark.createDataFrame(service_lookup_pandas())
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    df = salted_repartition(transcripts, n, salt_buckets)
+    df = parse_turns(df, impl=parse_impl)
+    df = with_stable_order(df)
+    df = enrich_with_lookup(df, lookup)
+    return classify_signal(df)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    lookup: DataFrame | None = None,
+    parse_impl: str = "native",
+    salt_buckets: int = 16,
+    resume: bool = True,
+    fail_after_sink: str | None = None,
+) -> dict:
+    """Run the pipeline end-to-end with manifest checkpointing.
+
+    Returns the manifest. With ``resume=True``, sinks already completed for
+    the same input fingerprint are skipped (idempotent resume of partially
+    completed routes).
+    """
+    fp = input_fingerprint(input_path)
+    manifest = load_manifest(out_dir) if resume else {"input_fingerprint": None, "sinks": {}}
+    if manifest.get("input_fingerprint") != fp:
+        manifest = {"input_fingerprint": fp, "sinks": {}}
+
+    pending = [
+        s
+        for s in (*SINK_BUILDERS, "sink_counts")
+        if manifest["sinks"].get(s, {}).get("status") != "complete"
+    ]
+    if not pending:
+        return manifest
+
+    transcripts = spark.read.parquet(input_path)
+    routed = build_routed(spark, transcripts, lookup, parse_impl, salt_buckets)
+    routed = routed.persist()
+    try:
+        input_rows = routed.count()
+        t0 = time.monotonic()
+        for sink_name in SINK_BUILDERS:
+            if sink_name not in pending:
+                continue
+            sink_df = SINK_BUILDERS[sink_name](routed)
+            dest = os.path.join(out_dir, sink_name)
+            sink_df.write.mode("overwrite").parquet(dest)
+            written = spark.read.parquet(dest)
+            rows, chash = content_hash(written)
+            manifest["sinks"][sink_name] = {
+                "status": "complete",
+                "rows": rows,
+                "input_rows": input_rows,
+                "content_hash": chash,
+                "path": dest,
+                "lineage": partition_lineage(written),
+            }
+            save_manifest(out_dir, manifest)
+            if fail_after_sink == sink_name:
+                raise SinkFailure(f"injected failure after sink {sink_name}")
+        if "sink_counts" in pending:
+            counts = sink_counts(routed)
+            dest = os.path.join(out_dir, "sink_counts")
+            counts.write.mode("overwrite").parquet(dest)
+            written = spark.read.parquet(dest)
+            rows, chash = content_hash(written)
+            manifest["sinks"]["sink_counts"] = {
+                "status": "complete",
+                "rows": rows,
+                "input_rows": input_rows,
+                "content_hash": chash,
+                "path": dest,
+                "lineage": partition_lineage(written),
+            }
+            save_manifest(out_dir, manifest)
+        manifest["elapsed_sec"] = time.monotonic() - t0
+        manifest["turns_per_sec"] = input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
+        save_manifest(out_dir, manifest)
+    finally:
+        routed.unpersist()
+    return manifest

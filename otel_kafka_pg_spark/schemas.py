@@ -1,0 +1,138 @@
+"""Explicit StructType schemas for every table the engine touches.
+
+The reference declares all schemas as hardcoded DDL executed at startup
+(reference: modules/common/db/schema.go:28-166) — fixed, explicit, no
+inference. We mirror that discipline: one module owns every schema.
+
+Timestamps: the reference stores BIGINT epoch-milliseconds converted from
+OTLP nanos (reference: modules/kafka/processor/processor.go:140-142); sink
+tables therefore carry ``*_time``/``timestamp`` as LongType ms while the
+input keeps a proper TimestampType ``ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Input: multi-turn conversation/agent transcripts (shape fixed by the build
+# contract: conv_id, turn_idx, role, text, tool, ts).
+# ---------------------------------------------------------------------------
+TRANSCRIPTS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Enrichment lookup — analog of OTLP resource attributes / service.name
+# discovery (reference: processor.go:94-103). Broadcast side of the enrich
+# join; small, fully enumerated over the (tool, role) domain.
+# ---------------------------------------------------------------------------
+SERVICE_LOOKUP = T.StructType(
+    [
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("service_name", T.StringType(), False),
+        T.StructField("resource_attrs", T.StringType(), False),  # canonical JSON
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Parse output — the fields the vectorized parse extracts from ``text``,
+# mirroring the reference decoder's TraceItem/LogItem field set
+# (reference: modules/trace/domain/trace.go:8-20, modules/log/domain/log.go:8-17).
+# ---------------------------------------------------------------------------
+PARSED_FIELDS = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType(), True),
+        T.StructField("span_id", T.StringType(), True),
+        T.StructField("parent_span_id", T.StringType(), True),
+        T.StructField("severity", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("call_tool", T.StringType(), True),
+        T.StructField("dur_ms", T.DoubleType(), True),
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("metric_value", T.DoubleType(), True),
+        T.StructField("message", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Sink tables — mirror the Postgres tables the reference writes
+# (reference: schema.go:36-52 traces, :64-74 logs, :83-97 metrics — the
+# metrics table is declared but never populated in the reference; we realize
+# the unrealized design and populate it from metric markers).
+# ---------------------------------------------------------------------------
+TRACES_SINK = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("trace_id", T.StringType(), False),
+        T.StructField("span_id", T.StringType(), False),
+        T.StructField("parent_span_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("service_name", T.StringType(), False),
+        T.StructField("start_time", T.LongType(), False),  # epoch ms
+        T.StructField("end_time", T.LongType(), False),  # epoch ms
+        T.StructField("duration", T.DoubleType(), False),  # fractional ms
+        T.StructField("status", T.StringType(), False),
+        T.StructField("attributes", T.StringType(), False),  # canonical JSON
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+)
+
+LOGS_SINK = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("timestamp", T.LongType(), False),  # epoch ms
+        T.StructField("service_name", T.StringType(), False),
+        T.StructField("message", T.StringType(), True),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("trace_id", T.StringType(), True),
+        T.StructField("span_id", T.StringType(), True),
+        T.StructField("attributes", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+)
+
+METRICS_SINK = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("metric_name", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("service_name", T.StringType(), False),
+        T.StructField("timestamp", T.LongType(), False),  # epoch ms
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("attributes", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+)
+
+# Per-sink aggregate counts — the parity analog of the reference's
+# batch-insert count logs (reference: consumer.go:302,316).
+SINK_COUNTS = T.StructType(
+    [
+        T.StructField("sink", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("time_bucket", T.TimestampType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+SINK_NAMES = ("traces", "logs", "metrics")
+
+# Severity: OTLP number → text map, default INFO
+# (reference: modules/log/domain/log.go:32-46).
+SEVERITY_NUM_TO_TEXT = {1: "TRACE", 5: "DEBUG", 9: "INFO", 13: "WARN", 17: "ERROR", 21: "FATAL"}
+SEVERITY_RANK = {"FATAL": 1, "ERROR": 2, "WARN": 3, "INFO": 4, "DEBUG": 5, "TRACE": 6}
+SEVERITIES = tuple(SEVERITY_RANK)
