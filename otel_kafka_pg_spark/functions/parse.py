@@ -41,7 +41,8 @@ from ..schemas import PARSED_FIELDS, SEVERITY_NUM_TO_TEXT
 RE_TRACE = r"trace=([0-9a-f]{32})"
 RE_SPAN = r"span=([0-9a-f]{16})"
 RE_PARENT = r"parent=([0-9a-f]{16})"
-RE_SEV_TOK = r"\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b"
+# lookbehind: the ERROR in "status=ERROR" is a status value, not a severity
+RE_SEV_TOK = r"(?<!status=)\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b"
 RE_SEV_NUM = r"severity_number=([0-9]+)"
 RE_CALL = r"call:([A-Za-z_][A-Za-z0-9_]*)\("
 RE_STATUS = r"status=(OK|ERROR)"

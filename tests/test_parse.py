@@ -1,0 +1,109 @@
+"""Parse operator tests: golden cases + native-vs-pandas differential."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_kafka_pg_spark.functions.parse import parse_turns_native, parse_turns_pandas
+from otel_kafka_pg_spark.schemas import TRANSCRIPTS
+
+TS = dt.datetime(2025, 1, 1)
+
+
+def _df(spark, texts):
+    rows = [("c1", i, "user", t, "bash", TS) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, TRANSCRIPTS)
+
+
+PARSE_COLS = [
+    "trace_id",
+    "span_id",
+    "parent_span_id",
+    "severity",
+    "status",
+    "call_tool",
+    "dur_ms",
+    "metric_name",
+    "metric_value",
+    "message",
+]
+
+
+def _parse_one(spark, text, impl=parse_turns_native):
+    return impl(_df(spark, [text])).select(*PARSE_COLS).collect()[0].asDict()
+
+
+def test_full_marker_extraction(spark):
+    t = (
+        "running now trace=0123456789abcdef0123456789abcdef span=0011223344556677 "
+        "parent=8899aabbccddeeff call:bash(arg) status=ERROR dur=12.5ms WARN metric:latency=3.25"
+    )
+    r = _parse_one(spark, t)
+    assert r["trace_id"] == "0123456789abcdef0123456789abcdef"
+    assert r["span_id"] == "0011223344556677"
+    assert r["parent_span_id"] == "8899aabbccddeeff"
+    assert r["severity"] == "WARN"
+    assert r["status"] == "ERROR"
+    assert r["call_tool"] == "bash"
+    assert r["dur_ms"] == 12.5
+    assert r["metric_name"] == "latency"
+    assert r["metric_value"] == 3.25
+    assert r["message"] == "running now"
+
+
+@pytest.mark.parametrize(
+    ("text", "expected"),
+    [
+        ("hello severity_number=1", "TRACE"),
+        ("hello severity_number=5", "DEBUG"),
+        ("hello severity_number=9", "INFO"),
+        ("hello severity_number=13", "WARN"),
+        ("hello severity_number=17", "ERROR"),
+        ("hello severity_number=21", "FATAL"),
+        ("hello severity_number=99", "INFO"),  # unknown number → INFO default
+        ("hello there", "INFO"),  # no marker → INFO default
+        ("hello FATAL severity_number=1", "FATAL"),  # text token wins over number
+    ],
+)
+def test_severity_mapping(spark, text, expected):
+    # golden table from reference log/domain/log.go:32-46 + processor.go:249-255
+    assert _parse_one(spark, text)["severity"] == expected
+
+
+def test_status_default_unset(spark):
+    # processor.go:121-130: absent status → UNSET
+    assert _parse_one(spark, "plain text")["status"] == "UNSET"
+    assert _parse_one(spark, "call:bash(x) status=OK dur=1.0ms")["status"] == "OK"
+
+
+def test_missing_ids_are_empty_strings(spark):
+    r = _parse_one(spark, "no markers at all")
+    assert r["trace_id"] == "" and r["span_id"] == "" and r["parent_span_id"] == ""
+    assert r["dur_ms"] is None and r["metric_value"] is None
+
+
+def test_message_strips_all_markers(spark):
+    t = "the result looks correct to me trace=" + "a" * 32 + " span=" + "b" * 16 + " INFO"
+    assert _parse_one(spark, t)["message"] == "the result looks correct to me"
+
+
+def test_native_and_pandas_impls_identical(spark, transcripts_path):
+    """Differential: both parse paths must agree byte-for-byte on real data."""
+    df = spark.read.parquet(transcripts_path)
+    a = parse_turns_native(df).select("conv_id", "turn_idx", *PARSE_COLS)
+    b = parse_turns_pandas(df).select("conv_id", "turn_idx", *PARSE_COLS)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_native_parse_stays_in_codegen(spark, transcripts_path):
+    """The native parse must not break whole-stage codegen (no Python in the
+    hot path) — scale guard, not just correctness."""
+    df = parse_turns_native(spark.read.parquet(transcripts_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

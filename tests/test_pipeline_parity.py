@@ -1,0 +1,98 @@
+"""Pipeline parity gates (the BASELINE.json correctness contract):
+
+1. routed-row-set equality vs the independent pandas reference
+   (exceptAll both directions == 0, per sink);
+2. per-sink aggregate-count parity;
+3. determinism: two runs → identical content hashes;
+4. idempotent resume: fail after the first sink, resume, final state
+   identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from otel_kafka_pg_spark.plans.pipeline import SinkFailure, run_pipeline
+from otel_kafka_pg_spark.schemas import LOGS_SINK, METRICS_SINK, SINK_COUNTS, TRACES_SINK
+from otel_kafka_pg_spark.sources.synth import service_lookup_pandas
+
+from reference_impl import route_reference
+
+SINK_SCHEMAS = {"traces": TRACES_SINK, "logs": LOGS_SINK, "metrics": METRICS_SINK, "sink_counts": SINK_COUNTS}
+
+
+@pytest.fixture(scope="module")
+def pipe_out(spark, transcripts_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    manifest = run_pipeline(spark, transcripts_path, out)
+    return out, manifest
+
+
+@pytest.fixture(scope="module")
+def expected(transcripts_path):
+    transcripts = pd.read_parquet(transcripts_path)
+    return route_reference(transcripts, service_lookup_pandas())
+
+
+@pytest.mark.parametrize("sink", ["traces", "logs", "metrics", "sink_counts"])
+def test_routed_row_set_equality(spark, pipe_out, expected, sink):
+    out, _ = pipe_out
+    got = spark.read.parquet(f"{out}/{sink}")
+    exp_pdf = expected[sink].copy()
+    if sink == "sink_counts":
+        exp_pdf["time_bucket"] = exp_pdf["time_bucket"].astype("datetime64[us]")
+    exp = spark.createDataFrame(exp_pdf, SINK_SCHEMAS[sink])
+    assert got.count() == len(exp_pdf)
+    assert got.exceptAll(exp).count() == 0, f"{sink}: rows the engine produced but oracle didn't"
+    assert exp.exceptAll(got).count() == 0, f"{sink}: rows the oracle produced but engine didn't"
+
+
+def test_per_sink_aggregate_count_parity(spark, pipe_out, expected):
+    out, manifest = pipe_out
+    for sink in ("traces", "logs", "metrics"):
+        assert manifest["sinks"][sink]["rows"] == len(expected[sink])
+    n_total = sum(len(expected[s]) for s in ("traces", "logs", "metrics"))
+    assert manifest["sinks"]["traces"]["input_rows"] == n_total
+
+
+def test_lineage_covers_all_rows(pipe_out):
+    _, manifest = pipe_out
+    for sink, entry in manifest["sinks"].items():
+        assert sum(p["rows"] for p in entry["lineage"]) == entry["rows"], sink
+
+
+def test_determinism_rerun_same_hashes(spark, transcripts_path, pipe_out, tmp_path):
+    _, manifest1 = pipe_out
+    out2 = str(tmp_path / "rerun")
+    manifest2 = run_pipeline(spark, transcripts_path, out2, parse_impl="pandas")
+    for sink in ("traces", "logs", "metrics", "sink_counts"):
+        assert manifest1["sinks"][sink]["content_hash"] == manifest2["sinks"][sink]["content_hash"], sink
+        assert manifest1["sinks"][sink]["rows"] == manifest2["sinks"][sink]["rows"], sink
+
+
+def test_idempotent_resume_after_partial_failure(spark, transcripts_path, pipe_out, tmp_path):
+    _, manifest_full = pipe_out
+    out = str(tmp_path / "resume")
+    with pytest.raises(SinkFailure):
+        run_pipeline(spark, transcripts_path, out, fail_after_sink="traces")
+    # traces completed before the crash; logs/metrics/counts did not
+    from otel_kafka_pg_spark.plans.manifest import load_manifest
+
+    partial = load_manifest(out)
+    assert partial["sinks"]["traces"]["status"] == "complete"
+    assert "logs" not in partial["sinks"]
+
+    resumed = run_pipeline(spark, transcripts_path, out)  # resume from manifest
+    for sink in ("traces", "logs", "metrics", "sink_counts"):
+        assert resumed["sinks"][sink]["content_hash"] == manifest_full["sinks"][sink]["content_hash"], sink
+
+
+def test_resume_skips_completed_sinks(spark, transcripts_path, pipe_out):
+    out, manifest = pipe_out
+    again = run_pipeline(spark, transcripts_path, out)  # everything complete → no-op
+    assert {s: e["content_hash"] for s, e in again["sinks"].items()} == {
+        s: e["content_hash"] for s, e in manifest["sinks"].items()
+    }
