@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness — the engine's feedback loop.
+
+Default mode: run the headline query set (a representative slice of the
+SURVEY.md §2 registry) plus the flagship transcript pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "pipeline": {"turns": N, "turns_per_sec": N}}
+
+``--scaling`` mode: run ONLY the pipeline at two parallelism levels
+(local[8] vs local[32] by default) in subprocesses (clean JVM per level —
+two SparkContexts with different masters can't share a process safely) and
+report throughput at both plus scaling efficiency — the sandbox evidence for
+the north rule's "≥0.8 efficiency from N to 4N executors" criterion.
+
+Pipeline turn count scales with the sf dir (sf0.1 → 600k turns) so the
+benchmark input matches the scale of the star-schema tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# turns for the flagship pipeline bench, keyed by sf (≈ lineitem row count)
+PIPELINE_TURNS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+
+# headline registry queries: every category represented, runtimes bounded
+HEADLINE = [
+    "f1_time_range",
+    "f6_ilike_substring",
+    "a1_service_counts",
+    "a4_trace_groups",
+    "a6_service_stats",
+    "a7_service_metrics_percentiles",
+    "j1_left_join_group_count",
+    "j3_broadcast_enrich",
+    "w1_latest_per_user",
+    "sc1_time_bucket_agg",
+    "o1_sort_desc_page",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh_pairs",
+    "dd4_simhash_near_pairs",
+    "t1_token_stats",
+    "t2_lang_id",
+    "e1_cosine_topk",
+    "e2_lsh_ann_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_pipeline_bench(spark, sf_dir: str, parse_impl: str = "native") -> dict:
+    """Full parse→enrich→route→sink run over synthetic transcripts sized to
+    the sf dir; returns wall time + turns/sec from the manifest."""
+    from otel_kafka_pg_spark.plans.pipeline import run_pipeline
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    n_turns = PIPELINE_TURNS.get(str(sf_of(sf_dir)).rstrip("0").rstrip("."), None)
+    if n_turns is None:
+        n_turns = PIPELINE_TURNS["0.1"]
+    path = load_or_synth_transcripts(n_turns, seed=42)
+    out = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        t0 = time.monotonic()
+        manifest = run_pipeline(spark, path, out, parse_impl=parse_impl, resume=False)
+        wall = time.monotonic() - t0
+        rows = next(iter(manifest["sinks"].values()))["input_rows"]
+        return {
+            "turns": rows,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(rows / wall, 1),
+            "parse_impl": parse_impl,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_queries_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from otel_kafka_pg_spark import queries as registry
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return timings
+
+
+def main_bench(cpus: int, sf_dir: str, pipeline_only: bool) -> dict:
+    from otel_kafka_pg_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_c{cpus}", cpus=cpus)
+    # warm the JVM/codegen path so timings measure the engine, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    pipeline = run_pipeline_bench(spark, sf_dir)
+    queries = {} if pipeline_only else run_queries_bench(spark, sf_dir, HEADLINE)
+    queries["pipeline"] = pipeline["wall_sec"]
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of(sf_dir),
+        "cpus": cpus,
+        "pipeline": pipeline,
+    }
+
+
+def main_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Same job, same input, two parallelism levels → scaling efficiency.
+
+    efficiency = (throughput_high / throughput_low) / (high / low); ≥0.8 is
+    the north-rule gate. Subprocess per level for a clean JVM."""
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    tp_low = results[low]["pipeline"]["turns_per_sec"]
+    tp_high = results[high]["pipeline"]["turns_per_sec"]
+    eff = (tp_high / tp_low) / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "low": {"cpus": low, "turns_per_sec": tp_low},
+        "high": {"cpus": high, "turns_per_sec": tp_high},
+        "speedup": round(tp_high / tp_low, 3),
+        "ideal_speedup": high / low,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    args = ap.parse_args()
+    if args.scaling:
+        result = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
+    else:
+        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only)
+    print(json.dumps(result))

@@ -21,16 +21,20 @@ def enrich_with_lookup(df: DataFrame, lookup: DataFrame) -> DataFrame:
         F.col("tool").alias("_lk_tool"),
         F.col("role").alias("_lk_role"),
         "service_name",
-        "resource_attrs",
+        # parse the attr JSON here, on the ≤100-row side, BEFORE broadcast —
+        # the fact-side hot path then merges ready-made maps instead of
+        # running from_json per row
+        F.from_json(F.col("resource_attrs"), "map<string,string>").alias("resource_attrs"),
     )
     joined = df.join(
         F.broadcast(lk),
         (df["tool"] == lk["_lk_tool"]) & (df["role"] == lk["_lk_role"]),
         "left",
     ).drop("_lk_tool", "_lk_role")
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
     return joined.withColumns(
         {
             "service_name": F.coalesce(F.col("service_name"), F.lit("unknown")),
-            "resource_attrs": F.coalesce(F.col("resource_attrs"), F.lit("{}")),
+            "resource_attrs": F.coalesce(F.col("resource_attrs"), empty_map),
         }
     )

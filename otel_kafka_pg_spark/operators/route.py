@@ -36,6 +36,30 @@ def classify_signal(df: DataFrame) -> DataFrame:
     )
 
 
+def with_attributes(df: DataFrame) -> DataFrame:
+    """Materialize the canonical attrs JSON ONCE per row, flavor picked by
+    signal_type (CaseWhen evaluates only the taken branch). The precedence
+    merge + sort + render is the most expensive scalar work in the pipeline;
+    computing it here — in the same stage that is persisted and scanned by
+    all three sinks — does the work 1× instead of once per sink scan."""
+    rec, res = record_attrs_map(), resource_attrs_map()
+    return df.withColumn(
+        "attributes",
+        F.when(
+            F.col("signal_type") == "trace",
+            canonical_json(merge_attrs(rec, res, resource_wins=True)),
+        ).otherwise(canonical_json(merge_attrs(rec, res, resource_wins=False))),
+    )
+
+
+def _attrs(df: DataFrame, resource_wins: bool):
+    """Precomputed attributes column when present (pipeline path), else the
+    inline precedence merge (standalone sink-builder use in tests)."""
+    if "attributes" in df.columns:
+        return F.col("attributes")
+    return canonical_json(merge_attrs(record_attrs_map(), resource_attrs_map(), resource_wins))
+
+
 def _ms(col: str = "ts"):
     # input ts is TIMESTAMP_NTZ (parquet via Arrow); session TZ is pinned to
     # UTC (session.py) so the cast to TIMESTAMP is deterministic
@@ -53,7 +77,7 @@ def to_traces(df: DataFrame) -> DataFrame:
 
     Attr precedence: resource wins (processor.go:116-119).
     """
-    attrs = canonical_json(merge_attrs(record_attrs_map(), resource_attrs_map(), resource_wins=True))
+    attrs = _attrs(df, resource_wins=True)
     start = _ms()
     dur = F.coalesce(F.col("dur_ms"), F.lit(0.0))
     return df.filter(F.col("signal_type") == "trace").select(
@@ -79,7 +103,7 @@ def to_logs(df: DataFrame) -> DataFrame:
     Attr precedence: record wins (processor.go:213-218) — note the asymmetry
     vs to_traces.
     """
-    attrs = canonical_json(merge_attrs(record_attrs_map(), resource_attrs_map(), resource_wins=False))
+    attrs = _attrs(df, resource_wins=False)
     return df.filter(F.col("signal_type") == "log").select(
         _hash_id("log").alias("id"),
         _ms().alias("timestamp"),
@@ -98,7 +122,7 @@ def to_metrics(df: DataFrame) -> DataFrame:
     """Metric-routed rows → metrics sink schema (schema.go:83-97 analog —
     the table the reference declares but never populates; record wins, as
     metrics follow the log decode path in spirit)."""
-    attrs = canonical_json(merge_attrs(record_attrs_map(), resource_attrs_map(), resource_wins=False))
+    attrs = _attrs(df, resource_wins=False)
     return df.filter(F.col("signal_type") == "metric").select(
         _hash_id("metric").alias("id"),
         F.col("metric_name"),

@@ -40,6 +40,43 @@ def content_hash(df: DataFrame) -> tuple[int, int]:
     return int(row["rows"]), int(row["h"])
 
 
+def write_with_summary(df: DataFrame, dest: str) -> tuple[int, int, list[dict]]:
+    """Write parquet and return (rows, content hash, per-partition lineage)
+    with ZERO extra Spark jobs:
+
+    - rows + order-insensitive xor-hash ride along the write job itself via
+      ``DataFrame.observe`` (computed on the exact rows written);
+    - per-partition lineage comes from the parquet footers of the written
+      files — a driver-side metadata read (each output file is one write
+      task's partition).
+
+    The previous design re-read every sink and ran an aggregate pass —
+    2 extra jobs per sink; at 10^12 rows that's re-scanning the whole output.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.bit_xor(_row_hash(df)), F.lit(0)).alias("h"),
+    )
+    observed.write.mode("overwrite").parquet(dest)
+    metrics = obs.get
+    return int(metrics["rows"]), int(metrics["h"]), parquet_file_lineage(dest)
+
+
+def parquet_file_lineage(dest: str) -> list[dict]:
+    """Per-output-file row counts from parquet footer metadata (no job)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+    return [
+        {"partition_id": i, "rows": pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows}
+        for i, f in enumerate(files)
+    ]
+
+
 def partition_lineage(df: DataFrame) -> list[dict]:
     """Per-Spark-partition row counts — the lineage record each partition
     emits (north-rule requirement; analog of the reference's per-flush count

@@ -36,14 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.enrich import enrich_with_lookup
 from ..operators.order import salted_repartition, with_stable_order
-from ..operators.route import SINK_BUILDERS, classify_signal, sink_counts
+from ..operators.route import SINK_BUILDERS, classify_signal, sink_counts, with_attributes
 from ..sources.synth import service_lookup_pandas
 from .manifest import (
-    content_hash,
     input_fingerprint,
     load_manifest,
-    partition_lineage,
     save_manifest,
+    write_with_summary,
 )
 
 
@@ -69,7 +68,7 @@ def build_routed(
     df = parse_turns(df, impl=parse_impl)
     df = with_stable_order(df)
     df = enrich_with_lookup(df, lookup)
-    return classify_signal(df)
+    return with_attributes(classify_signal(df))
 
 
 def run_pipeline(
@@ -105,23 +104,19 @@ def run_pipeline(
     routed = build_routed(spark, transcripts, lookup, parse_impl, salt_buckets)
     routed = routed.persist()
     try:
-        input_rows = routed.count()
         t0 = time.monotonic()
         for sink_name in SINK_BUILDERS:
             if sink_name not in pending:
                 continue
             sink_df = SINK_BUILDERS[sink_name](routed)
             dest = os.path.join(out_dir, sink_name)
-            sink_df.write.mode("overwrite").parquet(dest)
-            written = spark.read.parquet(dest)
-            rows, chash = content_hash(written)
+            rows, chash, lineage = write_with_summary(sink_df, dest)
             manifest["sinks"][sink_name] = {
                 "status": "complete",
                 "rows": rows,
-                "input_rows": input_rows,
                 "content_hash": chash,
                 "path": dest,
-                "lineage": partition_lineage(written),
+                "lineage": lineage,
             }
             save_manifest(out_dir, manifest)
             if fail_after_sink == sink_name:
@@ -129,18 +124,23 @@ def run_pipeline(
         if "sink_counts" in pending:
             counts = sink_counts(routed)
             dest = os.path.join(out_dir, "sink_counts")
-            counts.write.mode("overwrite").parquet(dest)
-            written = spark.read.parquet(dest)
-            rows, chash = content_hash(written)
+            rows, chash, lineage = write_with_summary(counts, dest)
             manifest["sinks"]["sink_counts"] = {
                 "status": "complete",
                 "rows": rows,
-                "input_rows": input_rows,
                 "content_hash": chash,
                 "path": dest,
-                "lineage": partition_lineage(written),
+                "lineage": lineage,
             }
             save_manifest(out_dir, manifest)
+        # routing is exclusive and exhaustive (trace|metric|log), so the input
+        # row count is exactly the sum of the three sink row counts — no
+        # separate count job over the routed frame
+        input_rows = sum(
+            manifest["sinks"][s]["rows"] for s in SINK_BUILDERS if s in manifest["sinks"]
+        )
+        for s in manifest["sinks"].values():
+            s["input_rows"] = input_rows
         manifest["elapsed_sec"] = time.monotonic() - t0
         manifest["turns_per_sec"] = input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
         save_manifest(out_dir, manifest)
