@@ -164,6 +164,39 @@ def hash_token(tok: str) -> int:
     return h
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold over a bounded id
+    range (brute-force n², the verification primitive — the scale path
+    buckets by sign-LSH first, see simsearch.make_bucketizer, so only
+    same-bucket pairs are compared)."""
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    v = base.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    v = v.withColumn("n", norm)
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
 

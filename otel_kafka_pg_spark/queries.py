@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from .operators import aggregate as agg
 from .operators.aggregate import EventFilter, build_event_filter
-from .operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
+from .operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
 from .operators.simsearch import cosine_topk, lsh_bucket_topk
 from .functions import text as tx
 from .sources.tables import load_table
@@ -256,6 +262,49 @@ def cd1_count_distinct(spark, sf_dir):
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.countDistinct("user_id").alias("users"))
 
 
+@register("cd2_approx_count_distinct", None)  # HLL sketch — approximate by design, rows-only
+def cd2_approx_count_distinct(spark, sf_dir):
+    # the 10^12-scale substitute for cd1: HLL merge is a map-side partial,
+    # no exact-distinct shuffle explosion (SURVEY §2.5 extension note)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("users"))
+    )
+
+
+@register(
+    "tpch_q1",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+)
+def tpch_q1(spark, sf_dir):
+    # the canonical scan→filter→agg shape: pushdown-able predicate, map-side
+    # partial agg, tiny shuffle (≤6 groups at any scale)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 @register(
     "c1_rollup",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
@@ -264,6 +313,15 @@ def cd1_count_distinct(spark, sf_dir):
 def c1_rollup(spark, sf_dir):
     # grouping-sets extension beyond the reference surface (SURVEY §2.5 note)
     return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "c2_cube",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def c2_cube(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +401,35 @@ def s1_except_all(spark, sf_dir):
     a = ev.filter(F.col("value") > 10).select("event_id", "event_type")
     b = ev.filter(F.col("value") > 50).select("event_id", "event_type")
     return a.exceptAll(b)
+
+
+@register(
+    "q1_traceid_substring_quirk",
+    "SELECT event_id, user_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%42%'",
+)
+def q1_traceid_substring_quirk(spark, sf_dir):
+    # preserved quirk: GetLogsByTraceID passes the trace ID as the SUBSTRING
+    # search query, not an equality filter (log_controller.go:220-228) — the
+    # id column is string-matched, so '42' also hits 142, 420, ...
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").cast("string").contains("42"))
+        .select("event_id", "user_id")
+    )
+
+
+@register(
+    "q2_ilike_star_skip_quirk",
+    "SELECT count(*) AS total FROM documents",
+)
+def q2_ilike_star_skip_quirk(spark, sf_dir):
+    # preserved quirk: the substring filter is SKIPPED when q ∈ {'', '*'}
+    # (log repo:145) — a '*' query returns the unfiltered count
+    q = "*"
+    d = _t(spark, sf_dir, "documents")
+    if q not in ("", "*"):
+        d = d.filter(F.lower(F.col("text")).contains(q.lower()))
+    return d.agg(F.count(F.lit(1)).alias("total"))
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +551,19 @@ def dd4_simhash_near_pairs(spark, sf_dir):
 
 
 @register(
+    "dd5_embedding_cosine_near_dup",
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+    "FROM embeddings WHERE vec_id < 200) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.e, b.e), 4) AS cosine "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.6",
+)
+def dd5_embedding_cosine_near_dup(spark, sf_dir):
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.6, max_id=200)
+
+
+@register(
     "t1_token_stats",
     "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
     "SELECT doc_id, len(t) AS n_tokens, "
@@ -570,6 +670,16 @@ def p3_pipeline_sink_counts(spark, sf_dir):
     from .operators.route import sink_counts
 
     return sink_counts(_routed(spark))
+
+
+@register("mm1_media_features", None)  # binary decode plumbing — no SQL analog
+def mm1_media_features(spark, sf_dir):
+    # multimodal plumbing: opaque binary payloads → mapInPandas feature
+    # extraction (deterministic sha256-derived stand-in for the stubbed
+    # codec); payload column dropped at the stage boundary
+    from .operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=64)).select("media_id", "kind", "n_bytes", "features")
 
 
 def queries() -> dict[str, QueryFn]:
