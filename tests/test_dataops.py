@@ -1,0 +1,136 @@
+"""Training-data operator tests: dedup strategies recover planted
+duplicates, ANN agrees with brute force on its bucket, multimodal plumbing
+preserves schema/batch shape and determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from otel_kafka_pg_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from otel_kafka_pg_spark.operators.multimodal import FEATURE_DIM, extract_features, synth_media
+from otel_kafka_pg_spark.operators.simsearch import cosine_topk, lsh_bucket_topk
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0 (modulo nothing)
+        (2, BASE + " extra tail words appended here"),  # near-dup of 0
+        (3, "completely different content about spark query planning engines"),
+        (4, "  " + BASE.upper() + "  "),  # whitespace/case variant → same fingerprint
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_groups_normalized_variants(spark):
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(_docs(spark)).collect()}
+    # 0, 1 and 4 normalize (lower + whitespace collapse) to one fingerprint
+    assert out[0] == 3
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # the near-dup survives the 0.5 threshold
+    assert not any(3 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_lsh_recovers_bruteforce_pairs(spark):
+    # at threshold 0.5 the banded-LSH candidate set must contain every true
+    # pair (recall check vs the exact quadratic baseline)
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    assert exact <= lsh or exact == lsh
+    # and LSH never fabricates pairs below threshold (it verifies exactly)
+    assert lsh <= {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+
+
+def test_simhash_near_pairs_flags_duplicates_only(spark):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(_docs(spark), max_hamming=10).collect()}
+    assert got[(0, 1)] == 0  # identical docs → identical simhash
+    assert (0, 4) in got  # case variant: lowercased tokens → hamming 0
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_cosine_pairs_threshold(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_cosine_pairs(df, threshold=0.9).collect()}
+    assert list(got) == [(0, 1)]
+    assert got[(0, 1)] > 0.99
+
+
+def _emb(spark, n=200, d=8, seed=11):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d).astype("float32")
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>"), m
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, m = _emb(spark)
+    q = [float(x) for x in m[0]]
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    sims = (m @ m[0]) / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    exp = list(np.argsort(np.round(-sims, 4), kind="stable")[:5])
+    assert got[0] == 0  # the query vector itself is its own nearest neighbor
+    assert got == [int(x) for x in exp]
+
+
+def test_lsh_ann_subset_of_bucket_and_self_found(spark):
+    df, m = _emb(spark)
+    q = [float(x) for x in m[0]]
+    ann = [r["vec_id"] for r in lsh_bucket_topk(df, q, k=5, bits=4).collect()]
+    assert ann[0] == 0  # query's own bucket contains the query vector
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=200).collect()]
+    assert set(ann) <= set(brute)
+
+
+def test_multimodal_features_schema_and_determinism(spark):
+    feats = extract_features(synth_media(spark, n=30))
+    assert [f.name for f in feats.schema.fields] == ["media_id", "kind", "n_bytes", "features"]
+    assert "payload" not in feats.columns  # binary never carried past the stage
+    a = {r["media_id"]: r["features"] for r in feats.collect()}
+    b = {r["media_id"]: r["features"] for r in extract_features(synth_media(spark, n=30)).collect()}
+    assert a == b  # pure function of payload content
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from otel_kafka_pg_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image/png")
+
+
+def test_multimodal_binary_column_prunable(spark):
+    # scale guard: selecting only metadata must not read the payload column
+    media = synth_media(spark, n=10)
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    media.write.mode("overwrite").parquet(os.path.join(d, "m"))
+    plan = (
+        spark.read.parquet(os.path.join(d, "m"))
+        .select("media_id", "kind")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "payload" not in plan
