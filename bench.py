@@ -95,20 +95,27 @@ def run_pipeline_bench(spark, sf_dir: str, parse_impl: str = "native", n_turns: 
         run_pipeline(spark, warm_path, warm_out, parse_impl=parse_impl, resume=False)
     finally:
         shutil.rmtree(warm_out, ignore_errors=True)
-    out = tempfile.mkdtemp(prefix="bench_pipeline_")
-    try:
-        t0 = time.monotonic()
-        manifest = run_pipeline(spark, path, out, parse_impl=parse_impl, resume=False)
-        wall = time.monotonic() - t0
-        rows = next(iter(manifest["sinks"].values()))["input_rows"]
-        return {
-            "turns": rows,
-            "wall_sec": round(wall, 3),
-            "turns_per_sec": round(rows / wall, 1),
-            "parse_impl": parse_impl,
-        }
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    # best of 2: this sandbox VM sees sporadic host CPU steal (vmstat st
+    # spikes >15%) that can inflate a single run several-fold; min over
+    # repeats is the standard noise-robust wall-clock estimator
+    walls, rows = [], 0
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
+            t0 = time.monotonic()
+            manifest = run_pipeline(spark, path, out, parse_impl=parse_impl, resume=False)
+            walls.append(time.monotonic() - t0)
+            rows = next(iter(manifest["sinks"].values()))["input_rows"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    wall = min(walls)
+    return {
+        "turns": rows,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(rows / wall, 1),
+        "parse_impl": parse_impl,
+        "runs_sec": [round(w, 3) for w in walls],
+    }
 
 
 def run_queries_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
