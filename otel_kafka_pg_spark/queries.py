@@ -672,6 +672,46 @@ def p3_pipeline_sink_counts(spark, sf_dir):
     return sink_counts(_routed(spark))
 
 
+@register("st1_stream_ingest_counts", None)  # Structured Streaming — no SQL analog
+def st1_stream_ingest_counts(spark, sf_dir):
+    # micro-batched foreachBatch ingest of the transcript stream; returns the
+    # re-aggregated per-sink counts (tests assert equality with the batch
+    # pipeline's counts — the buffer-flush parity gate, consumer.go:188-197)
+    import tempfile
+
+    from .sources.synth import load_or_synth_transcripts
+    from .streaming.stream_pipeline import run_stream, total_sink_counts
+
+    src = tempfile.mkdtemp(prefix="st1_src_")
+    out = tempfile.mkdtemp(prefix="st1_out_")
+    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_stream(spark, src, out, max_files_per_trigger=2)
+    return total_sink_counts(spark, out)
+
+
+@register("st2_stream_windowed_severity", None)  # watermarked event-time window
+def st2_stream_windowed_severity(spark, sf_dir):
+    import tempfile
+
+    from .sources.synth import load_or_synth_transcripts
+    from .streaming.stream_pipeline import streaming_severity_counts
+
+    src = tempfile.mkdtemp(prefix="st2_src_")
+    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).write.mode("overwrite").parquet(src)
+    q = (
+        streaming_severity_counts(spark, src)
+        .writeStream.format("memory")
+        .queryName("st2_sev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM st2_sev_counts")
+
+
 @register("mm1_media_features", None)  # binary decode plumbing — no SQL analog
 def mm1_media_features(spark, sf_dir):
     # multimodal plumbing: opaque binary payloads → mapInPandas feature

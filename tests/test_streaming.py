@@ -1,0 +1,85 @@
+"""Structured Streaming parity: micro-batched ingest produces exactly the
+batch pipeline's routed rows and aggregate counts; watermarked windowed
+counts match the batch groupBy on the same input."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_kafka_pg_spark.plans.pipeline import run_pipeline
+from otel_kafka_pg_spark.streaming.stream_pipeline import (
+    run_stream,
+    streaming_severity_counts,
+    total_sink_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, transcripts_path, tmp_path_factory):
+    # split the fixture transcripts into several files so availableNow with
+    # maxFilesPerTrigger yields MULTIPLE micro-batches (the BatchSize analog)
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    spark.read.parquet(transcripts_path).repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_matches_batch_sinks(spark, stream_input, tmp_path_factory):
+    stream_out = str(tmp_path_factory.mktemp("stream_out"))
+    batch_out = str(tmp_path_factory.mktemp("batch_out"))
+
+    run_stream(spark, stream_input, stream_out, max_files_per_trigger=3)
+    run_pipeline(spark, stream_input, batch_out, resume=False)
+
+    # routed-row-set equality per sink across the batch/streaming boundary
+    for sink in ("traces", "logs", "metrics"):
+        s = spark.read.parquet(os.path.join(stream_out, sink))
+        b = spark.read.parquet(os.path.join(batch_out, sink))
+        assert s.count() == b.count(), sink
+        assert s.exceptAll(b).count() == 0, sink
+        assert b.exceptAll(s).count() == 0, sink
+
+    # count parity: micro-batch count appends sum to the batch counts
+    s_counts = total_sink_counts(spark, stream_out)
+    b_counts = spark.read.parquet(os.path.join(batch_out, "sink_counts"))
+    assert s_counts.exceptAll(b_counts).count() == 0
+    assert b_counts.exceptAll(s_counts).count() == 0
+
+
+def test_stream_ran_in_multiple_microbatches(spark, stream_input, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_mb"))
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+    # 8 input files / 2 per trigger → ≥4 committed micro-batches
+    commits = [f for f in os.listdir(os.path.join(out, "_checkpoint", "commits")) if not f.startswith(".")]
+    assert len(commits) >= 4
+
+
+def test_streaming_windowed_severity_counts(spark, stream_input, tmp_path_factory):
+    q = (
+        streaming_severity_counts(spark, stream_input)
+        .writeStream.format("memory")
+        .queryName("sev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["bucket_start"], r["severity"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM sev_counts").collect()
+    }
+
+    from otel_kafka_pg_spark.functions.parse import parse_turns
+
+    exp = {
+        (r["bucket_start"], r["severity"]): r["cnt"]
+        for r in (
+            parse_turns(spark.read.parquet(stream_input))
+            .groupBy(F.window("ts", "1 hour").alias("bucket"), "severity")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("bucket.start").alias("bucket_start"), "severity", "cnt")
+        ).collect()
+    }
+    assert got == exp
