@@ -1,0 +1,104 @@
+"""Physical-plan guards — the properties that make the 100 TB plan work.
+
+Each test pins a plan property that silent regressions would destroy at
+scale long before correctness tests notice: filters reaching the parquet
+scan, column pruning, broadcast (not shuffle) enrich, map-side partial
+aggregation, top-k as TakeOrdered instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:  # AQE: the final plan only exists after execution
+        df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").filter(F.col("event_type") == "error").select("event_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+
+
+def test_column_pruning_reads_only_projected(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:" in plan
+    assert "l_comment" not in plan  # widest column never touched
+
+
+def test_enrich_join_is_broadcast_no_shuffle_of_fact(spark):
+    from otel_kafka_pg_spark.operators.enrich import enrich_with_lookup
+    from otel_kafka_pg_spark.schemas import SERVICE_LOOKUP
+    from otel_kafka_pg_spark.sources.synth import synth_service_lookup
+
+    # join keys must come from data columns — literal keys get constant-
+    # folded into a lookup-side filter and the join degenerates to BNLJ
+    fact = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "CASE WHEN value > 50 THEN 'search' ELSE 'bash' END AS tool",
+        "CASE WHEN event_type = 'click' THEN 'user' ELSE 'assistant' END AS role",
+        "event_id",
+    )
+    lk = spark.createDataFrame(
+        [(r["tool"], r["role"], r["service_name"], r["resource_attrs"]) for r in synth_service_lookup()],
+        SERVICE_LOOKUP,
+    )
+    plan = _plan(enrich_with_lookup(fact, lk), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").groupBy("event_type").count()
+    plan = _plan(df)
+    # map-side combine before the exchange: partial_count then final count
+    assert "partial_count" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").orderBy(F.desc("ts")).limit(20)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_has_single_broadcast_and_two_shuffles(spark):
+    """The flagship DAG's wide operations are exactly: the salted
+    repartition and the ordering window's hash partitioning (the enrich is
+    broadcast; everything else is narrow)."""
+    from otel_kafka_pg_spark.plans.pipeline import build_routed
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    routed = build_routed(spark, spark.read.parquet(load_or_synth_transcripts(2000, seed=7)))
+    plan = _plan(routed)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"unexpected extra shuffles:\n{plan}"
+
+
+def test_parse_stays_in_wholestage_codegen(spark):
+    """Native parse must be inside a WholeStageCodegen span — no Python, no
+    interpreted eval in the hot path."""
+    from otel_kafka_pg_spark.functions.parse import parse_turns_native
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    df = parse_turns_native(spark.read.parquet(load_or_synth_transcripts(2000, seed=7)))
+    plan = _plan(df)
+    assert "*(" in plan  # codegen'd spans print as "*(<stage id>)"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sink_counts_single_shuffle(spark):
+    from otel_kafka_pg_spark.operators.route import sink_counts
+    from otel_kafka_pg_spark.plans.pipeline import build_routed
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    routed = build_routed(spark, spark.read.parquet(load_or_synth_transcripts(2000, seed=7)))
+    plan = _plan(sink_counts(routed))
+    assert "partial_count" in plan  # map-side combine before the one shuffle
