@@ -211,6 +211,40 @@ def page_summary(df: DataFrame, limit: int = 100) -> DataFrame:
     )
 
 
+# --- request lifecycle (SURVEY §3.2/§3.3) -----------------------------------
+
+
+def clamp_limit(requested: int, default: int = 20, maximum: int = 100) -> int:
+    """The reference's limit clamp: non-positive → default, cap at maximum
+    (log/service/service.go:43-51, log_controller.go:72-77; traces use
+    default 100, trace/service/service.go:60-62)."""
+    if requested <= 0:
+        return default
+    return min(requested, maximum)
+
+
+def query_events(
+    df: DataFrame,
+    flt: EventFilter,
+    sort_field: str = "time",
+    descending: bool = True,
+    limit: int = 0,
+    offset: int = 0,
+) -> dict[str, DataFrame]:
+    """One request, four statements sharing ONE filter — the exact shape of
+    repo.QueryLogs (log repo:155-221: page, service agg, severity agg,
+    count, all over the same WHERE). The filtered frame is built once; each
+    terminal op is a separate lazy plan over it, so Catalyst still pushes
+    the shared predicates into every scan."""
+    f = build_event_filter(df, flt)
+    return {
+        "page": page_events(f, sort_field, descending, clamp_limit(limit), offset),
+        "service_counts": service_counts(f),
+        "severity_counts": severity_counts_ranked(f),
+        "total": total_count(f),
+    }
+
+
 # --- joins (J1–J3) -----------------------------------------------------------
 
 

@@ -404,6 +404,35 @@ def s1_except_all(spark, sf_dir):
 
 
 @register(
+    "r1_request_lifecycle_page",
+    "SELECT event_id, ts, event_type, value FROM events "
+    "WHERE event_type IN ('click','view') AND value >= 5.0 "
+    "ORDER BY ts DESC, event_id ASC LIMIT 100",
+)
+def r1_request_lifecycle_page(spark, sf_dir):
+    # full §3.2 lifecycle: one shared filter → page/aggs/count; the page's
+    # requested limit 500 is CLAMPED to the 100 max (log service:43-51)
+    flt = EventFilter(types_in=["click", "view"], min_value=5.0)
+    req = agg.query_events(_t(spark, sf_dir, "events"), flt, limit=500)
+    return req["page"].select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "r2_request_lifecycle_summary",
+    "WITH f AS (SELECT * FROM events WHERE event_type IN ('click','view') AND value >= 5.0), "
+    "svc AS (SELECT event_type, count(*) AS cnt FROM f GROUP BY event_type "
+    "ORDER BY cnt DESC, event_type LIMIT 20) "
+    "SELECT s.event_type, s.cnt, t.total FROM svc s CROSS JOIN "
+    "(SELECT count(*) AS total FROM f) t",
+)
+def r2_request_lifecycle_summary(spark, sf_dir):
+    # the same request's agg + count statements share the filter with r1
+    flt = EventFilter(types_in=["click", "view"], min_value=5.0)
+    req = agg.query_events(_t(spark, sf_dir, "events"), flt)
+    return req["service_counts"].crossJoin(req["total"])
+
+
+@register(
     "q1_traceid_substring_quirk",
     "SELECT event_id, user_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%42%'",
 )
