@@ -11,10 +11,10 @@ Four strategies, each with a distinct scale profile:
                          generation that scales linearly in rows; the
                          quadratic step only runs inside hash buckets. This
                          is the 100 TB path.
-- simhash              — 64-bit SimHash per doc via a vectorized pandas UDF
-                         (numpy bit-vote accumulation); near-dups are docs at
-                         small Hamming distance, found by exact bucket join
-                         on rotated prefixes.
+- simhash              — 64-bit SimHash per doc, pure JVM: exploded tokens,
+                         xxhash64, 64 per-bit vote-sum aggregates; near-dups
+                         are docs at small Hamming distance, found by exact
+                         bucket join on 16-bit blocks (pigeonhole).
 
 MinHash/LSH is pure JVM expressions: shingles → per-seed xxhash64 min →
 band hashes → explode → self-join on (band, hash). No Python in the path.
@@ -22,12 +22,8 @@ band hashes → explode → self-join on (band, hash). No Python in the path.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import fingerprint, word_shingles
 
@@ -143,30 +139,6 @@ def ngram_jaccard_pairs(
     )
 
 
-@pandas_udf(T.LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash: per-token FNV-ish hashes, bit votes
-    accumulated with numpy. Arrow-batched; no per-row Python beyond the
-    token split."""
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out[i] = np.int64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64))
-    return pd.Series(out)
-
-
-def hash_token(tok: str) -> int:
-    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process —
-    never use it for reproducible results)."""
-    h = 0xCBF29CE484222325
-    for ch in tok.encode():
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def embedding_cosine_pairs(
@@ -203,7 +175,33 @@ def embedding_cosine_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+    """64-bit SimHash per doc, pure JVM codegen (no Python in the path):
+    explode tokens → xxhash64(token) → per-bit vote sums as 64 aggregate
+    columns (map-side partial sums, one shuffle keyed by id) → reassemble
+    from vote signs. Shuffle payload is 64 longs per doc regardless of
+    document length — the 100 TB-safe shape (an earlier pandas-UDF version
+    looped per row in Python). Docs with no tokens hash to 0."""
+    ids = df.select(F.col(id_col).alias("id"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    # bit j set iff vote sum > 0; shiftleft(1L, 63) is Long.MIN_VALUE — the
+    # sign bit — so bit 63 lands correctly in two's complement
+    acc = F.lit(0).cast("long")
+    for j in range(64):
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    hashed = votes.select("id", acc.alias("simhash"))
+    return ids.join(hashed, "id", "left").select("id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
