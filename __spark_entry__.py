@@ -31,17 +31,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # deterministic marker synthesis so every route fires: clicks/views carry
+    # span markers (→ traces), purchases carry metric markers (→ metrics),
+    # the rest are plain log turns with a severity token
+    ehash = F.sha2(F.col("event_id").cast("string"), 256)
+    span_frag = F.concat(
+        F.lit(" trace="), F.substring(ehash, 1, 32),
+        F.lit(" span="), F.substring(ehash, 33, 16),
+        F.lit(" call:search(q) status="),
+        F.when(F.col("value") > 90, "ERROR").otherwise("OK"),
+        F.lit(" dur="), F.round(F.col("value"), 2).cast("string"), F.lit("ms"),
+    )
+    metric_frag = F.concat(F.lit(" metric:value="), F.col("value").cast("string"))
+    sev_frag = F.when(F.col("event_type") == "error", " ERROR").otherwise(" INFO")
     transcripts = ev.select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.concat_ws(
-            " ",
-            F.col("props"),
-            F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
-            F.concat(F.lit("metric:value="), F.col("value").cast("string")),
+        F.concat(
+            F.coalesce(F.col("props"), F.lit("")),
+            sev_frag,
+            F.when(F.col("event_type").isin("click", "view"), span_frag).otherwise(F.lit("")),
+            F.when(F.col("event_type") == "purchase", metric_frag).otherwise(F.lit("")),
         ).alias("text"),
-        F.lit("search").alias("tool"),
+        F.when(F.col("event_type") == "signup", None).otherwise(F.lit("search")).alias("tool"),
         F.col("ts"),
     )
     routed = build_routed(spark, transcripts)

@@ -500,6 +500,52 @@ def w2_lag_delta(spark, sf_dir):
     )
 
 
+@register(
+    "w3_sessionization",
+    "WITH gaps AS (SELECT event_id, user_id, ts, CASE WHEN ts - lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_session "
+    "FROM events) "
+    "SELECT event_id, user_id, CAST(sum(new_session) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps",
+)
+def w3_sessionization(spark, sf_dir):
+    # classic lag + cumulative-sum sessionization (30-min inactivity gap) —
+    # the window-frame showcase beyond the reference's implicit windows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: cast via timestamp (UTC session) to epoch seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+        )
+    )
+
+
+@register("a7b_percentiles_approx", None)  # approximate by design — rows-only
+def a7b_percentiles_approx(spark, sf_dir):
+    # the 10^12-row swap for a7: percentile_approx is a mergeable sketch
+    # (map-side partial), no full sort per group (SURVEY §7.4 risk 3)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)), 3).alias("p95"),
+            F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 3).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function parity (SURVEY §2.9): time bucket, hash, json
 # ---------------------------------------------------------------------------
