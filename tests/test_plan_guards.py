@@ -94,6 +94,41 @@ def test_parse_stays_in_wholestage_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_salted_repartition_spreads_hot_conversation(spark):
+    """Skew guard: a 4000-turn conversation must not land in one task.
+    Hashing bare conv_id would put all its turns in a single partition;
+    salting with pmod(hash(turn_idx), buckets) spreads it across ~buckets
+    partitions while small conversations stay cheap."""
+    import datetime as dt
+
+    from otel_kafka_pg_spark.operators.order import salted_repartition
+    from otel_kafka_pg_spark.schemas import TRANSCRIPTS
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [("hot", i, "user", "t", "bash", ts) for i in range(4000)]
+    rows += [(f"c{j}", i, "user", "t", "bash", ts) for j in range(20) for i in range(5)]
+    df = spark.createDataFrame(rows, TRANSCRIPTS)
+
+    unsalted = df.repartition(8, F.col("conv_id"))
+    hot_unsalted = (
+        unsalted.filter(F.col("conv_id") == "hot")
+        .groupBy(F.spark_partition_id())
+        .count()
+        .count()
+    )
+    assert hot_unsalted == 1  # the failure mode: one task owns the whole conv
+
+    salted = salted_repartition(df, 8, salt_buckets=16)
+    per_part = (
+        salted.filter(F.col("conv_id") == "hot")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(per_part) >= 4  # spread across most of the 8 partitions
+    assert max(r["count"] for r in per_part) < 4000 * 0.5  # no partition owns half
+
+
 def test_sink_counts_single_shuffle(spark):
     from otel_kafka_pg_spark.operators.route import sink_counts
     from otel_kafka_pg_spark.plans.pipeline import build_routed
