@@ -42,6 +42,30 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "
     )
 
 
+def cosine_topk_pandas(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Arrow-vectorized twin of cosine_topk: the whole batch's similarity is
+    one BLAS matrix-vector product inside a pandas UDF — the per-row cost at
+    10^9-vector scale is memory bandwidth, not expression interpretation
+    (the JVM zip_with/aggregate form evaluates a lambda per element). Same
+    ordering/rounding as cosine_topk; top-k is still TakeOrdered."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf(T.DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    return (
+        df.select(F.col(id_col), F.round(cos(F.col(vec_col)), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def make_bucketizer(dims: int, bits: int = 8, seed: int = 42):
     """Vectorized sign-LSH bucketizer: bucket = sign bits of V·H where H is a
     (dims × bits) hyperplane matrix from a seeded RNG — identical on every

@@ -29,7 +29,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from .operators.simsearch import cosine_topk, lsh_bucket_topk
+from .operators.simsearch import cosine_topk, cosine_topk_pandas, lsh_bucket_topk
 from .functions import text as tx
 from .sources.tables import load_table
 
@@ -699,6 +699,17 @@ def _query_vec(spark, sf_dir):
 )
 def e1_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "e1b_cosine_topk_pandas",
+    # same oracle as e1: the Arrow/BLAS twin must produce identical results
+    "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "(SELECT qv FROM q)), 4) AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10",
+)
+def e1b_cosine_topk_pandas(spark, sf_dir):
+    return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
 @register("e2_lsh_ann_topk", None)  # seeded-hyperplane LSH not portable to SQL → rows-only
