@@ -678,12 +678,54 @@ def t3_fingerprint(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+_QUALITY_SQL_CTE = (
+    "base AS (SELECT doc_id, text, len(text) AS n, "
+    "string_split_regex(trim(text), '\\s+') AS toks, "
+    "len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_stripped FROM documents), "
+    "calc AS (SELECT doc_id, text, "
+    "CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 ELSE 0.3 END AS length_ok, "
+    "1.0 - least((n - n_stripped) / greatest(n, 1) * 5, 1.0) AS punct_ok, "
+    "len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) / greatest(len(toks), 1) AS swr "
+    "FROM base), "
+    "quality AS (SELECT doc_id, text, round((length_ok + punct_ok + "
+    "CASE WHEN swr >= 0.01 AND swr <= 0.6 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS quality FROM calc)"
+)
+
+
 @register(
     "t4_quality_score",
-    None,  # composite heuristic — covered by unit tests; rows-only here
+    f"WITH {_QUALITY_SQL_CTE} SELECT doc_id, quality FROM quality",
 )
 def t4_quality_score(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "dp1_corpus_prep_dedup",
+    f"WITH {_QUALITY_SQL_CTE}, "
+    "f AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+    "FROM quality WHERE quality >= 0.55) "
+    "SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM f GROUP BY fp",
+)
+def dp1_corpus_prep_dedup(spark, sf_dir):
+    # training-data prep composite: quality gate → exact dedup survivors —
+    # every stage a column expression or one hash shuffle
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter(tx.quality_score("text") >= 0.55)
+    return exact_dedup(gated).select("fp", "keep_id", "n_dups")
+
+
+@register("dp2_corpus_prep_full", None)  # minhash stage not SQL-portable → rows-only
+def dp2_corpus_prep_full(spark, sf_dir):
+    """The full prep chain a 100 TB corpus runs: language gate → quality
+    gate → exact dedup (min-id survivor) → MinHash-LSH near-dup removal
+    (drop the larger id of each near pair) → surviving doc ids."""
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter((tx.lang_id(F.lower(F.col("text"))) == "en") & (tx.quality_score("text") >= 0.5))
+    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    kept = gated.join(survivors, "doc_id")
+    near = minhash_lsh_pairs(kept, threshold=0.6).select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(near, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
 def _query_vec(spark, sf_dir):
