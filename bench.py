@@ -55,9 +55,13 @@ HEADLINE = [
     "j1_left_join_group_count",
     "j3_broadcast_enrich",
     "w1_latest_per_user",
+    "w3_sessionization",
     "sc1_time_bucket_agg",
     "o1_sort_desc_page",
+    "tpch_q1",
+    "r1_request_lifecycle_page",
     "dd1_exact_dedup",
+    "dp1_corpus_prep_dedup",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
     "t1_token_stats",
