@@ -129,11 +129,13 @@ def run_queries_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):  # best of 2 — host CPU-steal windows distort singles
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()  # force full execution
+            best = min(best, time.monotonic() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
     return timings
 
 
