@@ -98,7 +98,7 @@ def _timed_pipeline_run(spark, path: str, parse_impl: str) -> tuple[float, int]:
 
 
 def run_pipeline_bench(
-    spark, sf_dir: str, parse_impl: str = "native", n_turns: int | None = None, impls: tuple = None
+    spark, sf_dir: str, parse_impl: str = "pandas", n_turns: int | None = None, impls: tuple = None
 ) -> dict:
     """Full parse→enrich→route→sink run over synthetic transcripts sized to
     the sf dir; returns wall time + turns/sec per parse impl.
@@ -173,11 +173,11 @@ def main_bench(cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = 
     else:
         # both parse impls, interleaved (same output, asserted byte-identical
         # in tests): native codegen regexp vs the Arrow grok-UDF twin
-        both = run_pipeline_bench(spark, sf_dir, n_turns=turns, impls=("native", "pandas"))
+        both = run_pipeline_bench(spark, sf_dir, n_turns=turns, impls=("pandas", "native"))
         queries = run_queries_bench(spark, sf_dir, HEADLINE)
-        queries["pipeline"] = both["native"]["wall_sec"]
-        queries["pipeline_pandas_udf"] = both["pandas"]["wall_sec"]
-        extra = {"pipeline": both["native"], "pipeline_pandas_udf": both["pandas"]}
+        queries["pipeline"] = both["pandas"]["wall_sec"]
+        queries["pipeline_native"] = both["native"]["wall_sec"]
+        extra = {"pipeline": both["pandas"], "pipeline_native": both["native"]}
     result = {
         "metric": "total_bench_sec",
         "value": round(sum(queries.values()), 3),

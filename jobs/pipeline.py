@@ -34,7 +34,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None, help="transcripts parquet path (default: synthesize 60k turns)")
     ap.add_argument("--output", required=True, help="sink root directory")
-    ap.add_argument("--parse-impl", choices=["native", "pandas"], default="native")
+    ap.add_argument("--parse-impl", choices=["native", "pandas"], default="pandas")
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()

@@ -54,7 +54,7 @@ def build_routed(
     spark: SparkSession,
     transcripts: DataFrame,
     lookup: DataFrame | None = None,
-    parse_impl: str = "native",
+    parse_impl: str = "pandas",
     salt_buckets: int = 16,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -76,7 +76,7 @@ def run_pipeline(
     input_path: str,
     out_dir: str,
     lookup: DataFrame | None = None,
-    parse_impl: str = "native",
+    parse_impl: str = "pandas",
     salt_buckets: int = 16,
     resume: bool = True,
     fail_after_sink: str | None = None,

@@ -45,7 +45,7 @@ def run_stream(
     out_dir: str,
     lookup: DataFrame | None = None,
     max_files_per_trigger: int = 4,
-    parse_impl: str = "native",
+    parse_impl: str = "pandas",
 ) -> None:
     """Drain ``input_dir`` (parquet files of transcript turns) through the
     full transform DAG in micro-batches; append per-sink parquet + counts.
@@ -101,7 +101,7 @@ def streaming_severity_counts(
     input_dir: str,
     watermark: str = "2 hours",
     window: str = "1 hour",
-    parse_impl: str = "native",
+    parse_impl: str = "pandas",
 ) -> DataFrame:
     """Watermarked event-time windowed severity counts over the turn stream.
 

@@ -67,7 +67,7 @@ def test_lineage_covers_all_rows(pipe_out):
 def test_determinism_rerun_same_hashes(spark, transcripts_path, pipe_out, tmp_path):
     _, manifest1 = pipe_out
     out2 = str(tmp_path / "rerun")
-    manifest2 = run_pipeline(spark, transcripts_path, out2, parse_impl="pandas")
+    manifest2 = run_pipeline(spark, transcripts_path, out2, parse_impl="native")
     for sink in ("traces", "logs", "metrics", "sink_counts"):
         assert manifest1["sinks"][sink]["content_hash"] == manifest2["sinks"][sink]["content_hash"], sink
         assert manifest1["sinks"][sink]["rows"] == manifest2["sinks"][sink]["rows"], sink
