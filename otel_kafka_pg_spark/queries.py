@@ -392,6 +392,54 @@ def o3_limit_offset(spark, sf_dir):
 
 
 @register(
+    "aj1_asof_join",
+    "WITH r AS (SELECT user_id, ts, max(value) AS purchase_value FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+    "SELECT e.event_id, e.user_id, round(r.purchase_value, 3) AS last_purchase "
+    "FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts",
+)
+def aj1_asof_join(spark, sf_dir):
+    # as-of join extension: each event gets the user's most recent prior
+    # purchase value (sort-merge/window formulation — no range nested loop)
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(ev, right, on="user_id", value_cols=["purchase_value"])
+    return joined.select(
+        "event_id", "user_id", F.round("purchase_value", 3).alias("last_purchase")
+    )
+
+
+@register(
+    "s2_union_distinct",
+    "SELECT event_id FROM events WHERE value > 90 UNION SELECT event_id FROM events "
+    "WHERE event_type = 'error'",
+)
+def s2_union_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 90).select("event_id")
+    b = ev.filter(F.col("event_type") == "error").select("event_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "s3_intersect",
+    "SELECT event_id FROM events WHERE value > 50 INTERSECT SELECT event_id FROM events "
+    "WHERE event_type IN ('click','view')",
+)
+def s3_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("event_id")
+    b = ev.filter(F.col("event_type").isin("click", "view")).select("event_id")
+    return a.intersect(b)
+
+
+@register(
     "s1_except_all",
     "SELECT event_id, event_type FROM events WHERE value > 10 "
     "EXCEPT ALL SELECT event_id, event_type FROM events WHERE value > 50",

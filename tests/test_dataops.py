@@ -134,3 +134,24 @@ def test_multimodal_binary_column_prunable(spark):
         .toString()
     )
     assert "payload" not in plan
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from otel_kafka_pg_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("u1", t(5), "a"), ("u1", t(10), "b"), ("u1", t(2), "c"), ("u2", t(7), "d")],
+        "user_id string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(3), 30.0), ("u1", t(10), 100.0), ("u2", t(9), 90.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = {r["tag"]: r["v"] for r in asof_join(left, right, "user_id", ["v"]).collect()}
+    assert out["c"] is None  # ts=2: no right row at or before
+    assert out["a"] == 30.0  # ts=5: latest prior is ts=3
+    assert out["b"] == 100.0  # ts=10: equal timestamp is INCLUSIVE
+    assert out["d"] is None  # u2 ts=7: right row is at ts=9 (future)
