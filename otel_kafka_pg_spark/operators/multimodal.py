@@ -96,6 +96,44 @@ def extract_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_image(payload: bytes, mime: str, width: int, height: int):  # pragma: no cover - stub
+    """STUB: real resize requires an image codec (PIL), absent here. The
+    Spark-side plumbing (frame_sample / extract_features) is real; this is
+    the one-line swap point when codecs exist."""
+    raise NotImplementedError("image resize requires PIL; not available in this container")
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, frame_bytes: int = 64, every_k: int = 2) -> DataFrame:
+    """Sample every k-th fixed-size frame from video payloads — one row per
+    sampled frame, via Arrow-batched mapInPandas (bounded memory per batch;
+    a real container format would swap the fixed-stride slicing for a
+    demuxer, the Spark plumbing is identical). Non-video rows are dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.RandomState(seed)

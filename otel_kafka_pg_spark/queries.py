@@ -898,6 +898,15 @@ def mm1_media_features(spark, sf_dir):
     return extract_features(synth_media(spark, n=64)).select("media_id", "kind", "n_bytes", "features")
 
 
+@register("mm2_frame_sample", None)  # binary frame plumbing — no SQL analog
+def mm2_frame_sample(spark, sf_dir):
+    from .operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, n=30), frame_bytes=64, every_k=2).select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_len")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

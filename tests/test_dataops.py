@@ -155,3 +155,18 @@ def test_asof_join_semantics(spark):
     assert out["a"] == 30.0  # ts=5: latest prior is ts=3
     assert out["b"] == 100.0  # ts=10: equal timestamp is INCLUSIVE
     assert out["d"] is None  # u2 ts=7: right row is at ts=9 (future)
+
+
+def test_multimodal_frame_sample(spark):
+    from otel_kafka_pg_spark.operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n=12)  # kinds cycle image/audio/video → 4 videos
+    frames = frame_sample(media, frame_bytes=64, every_k=2).collect()
+    assert all(len(r["frame"]) == 64 for r in frames)
+    assert all(r["frame_idx"] % 2 == 0 for r in frames)  # every 2nd frame only
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # only video rows survive (media_id % 3 == 2 in synth_media's cycle)
+    assert all(mid % 3 == 2 for mid in by_media)
+    assert len(by_media) == 4
