@@ -81,6 +81,62 @@ def make_bucketizer(dims: int, bits: int = 8, seed: int = 42):
     return bucket
 
 
+def fit_ivf_centroids(df: DataFrame, k: int = 8, sample: int = 1024, iters: int = 5, seed: int = 42,
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Fit IVF centroids with mini-Lloyd iterations on a bounded seeded
+    sample (standard IVF practice: the coarse quantizer is trained on a
+    sample, then broadcast). Deterministic: seeded sample, seeded init.
+    Driver memory is bounded by ``sample`` rows regardless of table size."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    centroids = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = m[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    (Arrow-batched matrix math, centroids broadcast by closure), then run
+    exact cosine only inside the query's ``n_probe`` nearest cells. At
+    10^12 vectors the scan prunes to ~n_probe/n_centroids of the data, and
+    the cell id is a natural partition/cluster key for the parquet layout."""
+    cents = centroids if centroids is not None else fit_ivf_centroids(df, n_centroids, seed=seed, vec_col=vec_col)
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((q[None, :] - cents) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(qd)[:n_probe]]
+    celled = df.withColumn("_cell", cell_of(F.col(vec_col)))
+    return cosine_topk(celled.filter(F.col("_cell").isin(probe)), query, k, vec_col, id_col)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

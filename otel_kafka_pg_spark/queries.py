@@ -807,6 +807,13 @@ def e2_lsh_ann_topk(spark, sf_dir):
     return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, bits=4)
 
 
+@register("e3_ivf_ann_topk", None)  # seeded k-means quantizer → rows-only
+def e3_ivf_ann_topk(spark, sf_dir):
+    from .operators.simsearch import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # The transcript pipeline itself (spark-only; parity enforced in tests/)
 # ---------------------------------------------------------------------------

@@ -170,3 +170,17 @@ def test_multimodal_frame_sample(spark):
     # only video rows survive (media_id % 3 == 2 in synth_media's cycle)
     assert all(mid % 3 == 2 for mid in by_media)
     assert len(by_media) == 4
+
+
+def test_ivf_ann_recall_and_self(spark):
+    from otel_kafka_pg_spark.operators.simsearch import ivf_topk
+
+    df, m = _emb(spark)
+    q = [float(x) for x in m[0]]
+    ann = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()]
+    assert ann[0] == 0  # the query's own cell is always probed first
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=200).collect()]
+    assert set(ann) <= set(brute)
+    # determinism: same seed → same result
+    again = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()]
+    assert ann == again
