@@ -107,3 +107,34 @@ def test_native_parse_stays_in_codegen(spark, transcripts_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan  # whole-stage-codegen stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzz_differential_adversarial_texts(spark):
+    """Seeded fuzz: the two impls must agree on adversarial near-miss
+    marker fragments (truncated hex, doubled dots, markers inside words,
+    unicode, empty-ish strings) — the inputs most likely to expose regex
+    engine differences between java.util.regex and Python re."""
+    import random
+
+    rng = random.Random(1234)
+    frags = [
+        "trace=", "trace=abc", "trace=" + "a" * 31, "trace=" + "a" * 33,
+        "span=" + "b" * 15, "span=" + "b" * 16, "parent=" + "c" * 16,
+        "call:x(", "call:(", "call:9bad(", "call:ok(arg) status=MAYBE",
+        "status=OK", "status=ERROR", "status=OKAY", "xstatus=ERROR",
+        "dur=ms", "dur=1..5ms", "dur=.5ms", "dur=123ms", "dur=1.5.5ms",
+        "severity_number=", "severity_number=abc", "severity_number=005",
+        "metric:=1", "metric:m=", "metric:m=--3", "metric:m=1.2.3", "metric:m=-7.5",
+        "TRACE", "DEBUGGING", "xERROR", "ERRORx", "FATAL", "INFOINFO",
+        "ERROR", "WARN", "ÜNICÖDE", "日本語テキスト", "", " ", "\t",
+        "status=ERROR FATAL", "severity_number=17 DEBUG",
+    ]
+    texts = []
+    for _ in range(400):
+        k = rng.randint(0, 5)
+        texts.append(" ".join(rng.choice(frags) for _ in range(k)) or "x")
+    df = _df(spark, texts)
+    a = parse_turns_native(df).select("turn_idx", *PARSE_COLS)
+    b = parse_turns_pandas(df).select("turn_idx", *PARSE_COLS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
