@@ -15,6 +15,30 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _tuned(builder, shuffle_partitions: int):
+    """Engine tuning applied to any session (local or cluster)."""
+    return (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the reference's attr-merge is last-write-wins (processor.go:116-119);
+        # map_concat must behave the same instead of erroring on dup keys
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    )
+
+
+def get_submit_spark(app_name: str = "otel_kafka_pg_spark", shuffle_partitions: int = 200) -> SparkSession:
+    """Session for spark-submit deployments: master/executors come from the
+    submit conf — never overridden here; only engine tuning is applied."""
+    spark = _tuned(SparkSession.builder.appName(app_name), shuffle_partitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def get_spark(
     app_name: str = "otel_kafka_pg_spark",
     cpus: int | None = None,
