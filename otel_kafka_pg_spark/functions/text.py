@@ -75,6 +75,36 @@ def lang_id(col: Column | str) -> Column:
     return best_lang
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs — the
+# coarse split BPE vocabularies are trained over (GPT-2-style class split,
+# identical semantics in Spark's and DuckDB's regex engines)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
+    character k-grams (the rolling-hash analog — xxhash64 per position),
+    then keep the minimum hash of every sliding window of ``window``
+    positions. Guarantee: any shared substring of length ≥ k+window-1
+    contributes at least one shared fingerprint — the basis of local
+    (partial-overlap) duplicate detection, where full-document sha256 only
+    catches exact duplicates. Pure JVM expressions; output is the sorted
+    distinct fingerprint array."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    widx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: sha256 over whitespace-normalized lowercase text
     (the deterministic analog of a rolling content hash)."""

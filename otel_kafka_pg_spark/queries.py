@@ -776,6 +776,22 @@ def dp2_corpus_prep_full(spark, sf_dir):
     return kept.join(near, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
+@register(
+    "t5_bpe_token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe "
+    "FROM documents",
+)
+def t5_bpe_token_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", tx.bpe_token_count("text").alias("n_bpe"))
+
+
+@register("t6_winnowing_fingerprints", None)  # xxhash64 not in DuckDB → rows-only
+def t6_winnowing_fingerprints(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tx.winnowing_fingerprints("text")).alias("n_fingerprints")
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
     return [float(x) for x in row["embedding"]]

@@ -184,3 +184,21 @@ def test_ivf_ann_recall_and_self(spark):
     # determinism: same seed → same result
     again = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()]
     assert ann == again
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from otel_kafka_pg_spark.functions.text import winnowing_fingerprints
+
+    common = "this exact shared passage appears verbatim in both documents"
+    rows = [
+        (0, "intro words before. " + common + " and a different ending here"),
+        (1, "totally other opening text! " + common + " closing remarks differ"),
+        (2, "nothing in common with either of the previous two entries at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r["doc_id"]: set(r["fp"]) for r in df.select("doc_id", winnowing_fingerprints("text").alias("fp")).collect()}
+    # winnowing guarantee: a shared substring of length >= k+window-1 yields
+    # at least one shared fingerprint
+    assert fps[0] & fps[1]
+    # overlap with the unrelated doc is far smaller than between 0 and 1
+    assert len(fps[0] & fps[1]) > 3 * len(fps[0] & fps[2])
