@@ -80,12 +80,19 @@ def run_pipeline(
     salt_buckets: int = 16,
     resume: bool = True,
     fail_after_sink: str | None = None,
+    persist_routed: bool = True,
 ) -> dict:
     """Run the pipeline end-to-end with manifest checkpointing.
 
     Returns the manifest. With ``resume=True``, sinks already completed for
     the same input fingerprint are skipped (idempotent resume of partially
     completed routes).
+
+    ``persist_routed``: cache the routed frame between the three sink scans
+    (right at sandbox scale, where the whole frame fits in memory). At
+    100 TB the cache would exceed executor storage — pass False and each
+    sink recomputes its narrow projection instead (see SCALE.md); results
+    are identical either way (asserted in tests).
     """
     fp = input_fingerprint(input_path)
     manifest = load_manifest(out_dir) if resume else {"input_fingerprint": None, "sinks": {}}
@@ -102,7 +109,8 @@ def run_pipeline(
 
     transcripts = spark.read.parquet(input_path)
     routed = build_routed(spark, transcripts, lookup, parse_impl, salt_buckets)
-    routed = routed.persist()
+    if persist_routed:
+        routed = routed.persist()
     try:
         t0 = time.monotonic()
         for sink_name in SINK_BUILDERS:
@@ -145,5 +153,6 @@ def run_pipeline(
         manifest["turns_per_sec"] = input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
         save_manifest(out_dir, manifest)
     finally:
-        routed.unpersist()
+        if persist_routed:
+            routed.unpersist()
     return manifest

@@ -96,3 +96,12 @@ def test_resume_skips_completed_sinks(spark, transcripts_path, pipe_out):
     assert {s: e["content_hash"] for s, e in again["sinks"].items()} == {
         s: e["content_hash"] for s, e in manifest["sinks"].items()
     }
+
+
+def test_no_persist_mode_identical_hashes(spark, transcripts_path, pipe_out, tmp_path):
+    # the 100 TB configuration (SCALE.md): no fan-out cache, sinks recompute
+    _, manifest1 = pipe_out
+    out = str(tmp_path / "nopersist")
+    manifest2 = run_pipeline(spark, transcripts_path, out, persist_routed=False)
+    for sink in ("traces", "logs", "metrics", "sink_counts"):
+        assert manifest1["sinks"][sink]["content_hash"] == manifest2["sinks"][sink]["content_hash"], sink
