@@ -73,8 +73,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     shingled = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
     flat = shingled.select("id", F.explode("sh").alias("s"))
+    # per-hash independence: xxhash64 over (shingle, j) — the int literal is
+    # hashed as an extra column, avoiding a per-hash string concat/alloc
     sig = flat.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}") for j in range(num_hashes)]
+        *[F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
     )
     banded = sig.select(
         "id",
