@@ -202,3 +202,48 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert fps[0] & fps[1]
     # overlap with the unrelated doc is far smaller than between 0 and 1
     assert len(fps[0] & fps[1]) > 3 * len(fps[0] & fps[2])
+
+
+def test_asof_join_randomized_vs_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from otel_kafka_pg_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(77)
+    n_left, n_right = 400, 120
+    left = pd.DataFrame(
+        {
+            "user_id": [f"u{int(x)}" for x in rng.randint(0, 12, n_left)],
+            "ts": pd.to_datetime(rng.randint(0, 100000, n_left), unit="s"),
+            "row_id": np.arange(n_left),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user_id": [f"u{int(x)}" for x in rng.randint(0, 12, n_right)],
+                "ts": pd.to_datetime(rng.randint(0, 100000, n_right), unit="s"),
+                "v": rng.randn(n_right).round(4),
+            }
+        )
+        .drop_duplicates(["user_id", "ts"])  # asof requires unique (key, ts)
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("row_id")["v"]
+
+    ldf = spark.createDataFrame(left, "user_id string, ts timestamp, row_id long")
+    rdf = spark.createDataFrame(right, "user_id string, ts timestamp, v double")
+    got = {r["row_id"]: r["v"] for r in asof_join(ldf, rdf, "user_id", ["v"]).collect()}
+    for rid, v in exp.items():
+        g = got[rid]
+        if pd.isna(v):
+            assert g is None, rid
+        else:
+            assert g == pytest.approx(v), rid
