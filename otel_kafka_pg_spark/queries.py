@@ -843,7 +843,44 @@ def _routed(spark, n_turns=6000):
     return build_routed(spark, spark.read.parquet(path))
 
 
-@register("p1_pipeline_severity_counts", None)
+# The flagship pipeline's DuckDB oracle: an independent SQL re-derivation of
+# parse (regex extraction) + routing over the SAME deterministic synthetic
+# transcript parquet (seed 42, materialized at registry load — see
+# _ensure_pipeline_input). DuckDB's RE2 has no lookbehind, so the severity
+# token's `(?<!status=)` is emulated by stripping `status=OK|ERROR`
+# fragments before matching — equivalent first-match semantics.
+_PIPE_PARQUET = "/root/repo/.data/transcripts_n6000_s42.parquet"
+
+_PIPE_SQL_CTE = (
+    f"t AS (SELECT * FROM read_parquet('{_PIPE_PARQUET}')), "
+    "p AS (SELECT conv_id, turn_idx, role, tool, ts, "
+    "regexp_extract(text, 'trace=([0-9a-f]{32})', 1) AS trace_id, "
+    "regexp_extract(text, 'span=([0-9a-f]{16})', 1) AS span_id, "
+    "regexp_extract(text, 'metric:([A-Za-z_][A-Za-z0-9_]*)=', 1) AS metric_name, "
+    "regexp_extract(regexp_replace(text, 'status=(OK|ERROR)', '', 'g'), "
+    "'\\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\\b', 1) AS sev_tok, "
+    "regexp_extract(text, 'severity_number=([0-9]+)', 1) AS sev_num FROM t), "
+    "routed AS (SELECT *, "
+    "CASE WHEN sev_tok != '' THEN sev_tok ELSE CASE sev_num "
+    "WHEN '1' THEN 'TRACE' WHEN '5' THEN 'DEBUG' WHEN '9' THEN 'INFO' "
+    "WHEN '13' THEN 'WARN' WHEN '17' THEN 'ERROR' WHEN '21' THEN 'FATAL' "
+    "ELSE 'INFO' END END AS severity, "
+    "CASE WHEN trace_id != '' AND span_id != '' THEN 'trace' "
+    "WHEN metric_name != '' THEN 'metric' ELSE 'log' END AS signal_type FROM p)"
+)
+
+
+def _ensure_pipeline_input():
+    from .sources.synth import load_or_synth_transcripts
+
+    load_or_synth_transcripts(6000, seed=42)
+
+
+@register(
+    "p1_pipeline_severity_counts",
+    f"WITH {_PIPE_SQL_CTE} SELECT severity, count(*) AS cnt FROM routed "
+    "WHERE signal_type = 'log' GROUP BY severity",
+)
 def p1_pipeline_severity_counts(spark, sf_dir):
     # the flagship slice: severity counts with the reference's rank ladder
     # (log repo:194-214) over the log-routed rows
@@ -859,19 +896,37 @@ def p1_pipeline_severity_counts(spark, sf_dir):
     )
 
 
-@register("p2_pipeline_route_distribution", None)
+@register(
+    "p2_pipeline_route_distribution",
+    f"WITH {_PIPE_SQL_CTE} SELECT signal_type, count(*) AS cnt FROM routed GROUP BY signal_type",
+)
 def p2_pipeline_route_distribution(spark, sf_dir):
     return _routed(spark).groupBy("signal_type").agg(F.count(F.lit(1)).alias("cnt")).orderBy("signal_type")
 
 
-@register("p3_pipeline_sink_counts", None)
+@register(
+    "p3_pipeline_sink_counts",
+    f"WITH {_PIPE_SQL_CTE} SELECT signal_type AS sink, conv_id, role, tool, "
+    "date_trunc('hour', ts) AS time_bucket, count(*) AS n FROM routed "
+    "GROUP BY signal_type, conv_id, role, tool, date_trunc('hour', ts)",
+)
 def p3_pipeline_sink_counts(spark, sf_dir):
+    # A10: the per-sink aggregate-count parity gate, now ALSO DuckDB-oracled
+    # (beyond the pandas reference oracle in tests/)
     from .operators.route import sink_counts
 
     return sink_counts(_routed(spark))
 
 
-@register("st1_stream_ingest_counts", None)  # Structured Streaming — no SQL analog
+@register(
+    "st1_stream_ingest_counts",
+    # the SAME oracle as p3: micro-batched streaming ingest must produce
+    # byte-identical aggregate counts to the batch pipeline and to the
+    # independent SQL re-derivation
+    f"WITH {_PIPE_SQL_CTE} SELECT signal_type AS sink, conv_id, role, tool, "
+    "date_trunc('hour', ts) AS time_bucket, count(*) AS n FROM routed "
+    "GROUP BY signal_type, conv_id, role, tool, date_trunc('hour', ts)",
+)
 def st1_stream_ingest_counts(spark, sf_dir):
     # micro-batched foreachBatch ingest of the transcript stream; returns the
     # re-aggregated per-sink counts (tests assert equality with the batch
@@ -931,8 +986,10 @@ def mm2_frame_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, QueryFn]:
+    _ensure_pipeline_input()  # the p1–p3 oracles read this deterministic parquet
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_pipeline_input()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
