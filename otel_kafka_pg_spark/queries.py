@@ -945,7 +945,13 @@ def st1_stream_ingest_counts(spark, sf_dir):
     return total_sink_counts(spark, out)
 
 
-@register("st2_stream_windowed_severity", None)  # watermarked event-time window
+@register(
+    "st2_stream_windowed_severity",
+    # hourly tumbling window start == date_trunc('hour'); severity derived
+    # by the same independent SQL parse as p1-p3
+    f"WITH {_PIPE_SQL_CTE} SELECT date_trunc('hour', ts) AS bucket_start, severity, "
+    "count(*) AS cnt FROM routed GROUP BY 1, 2",
+)
 def st2_stream_windowed_severity(spark, sf_dir):
     import tempfile
 
