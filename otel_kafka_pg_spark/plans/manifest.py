@@ -67,12 +67,19 @@ def write_with_summary(df: DataFrame, dest: str) -> tuple[int, int, list[dict]]:
 
 
 def parquet_file_lineage(dest: str) -> list[dict]:
-    """Per-output-file row counts from parquet footer metadata (no job)."""
+    """Per-output-file row counts from parquet footer metadata (no job).
+    Walks recursively so hive-partitioned sink layouts (partitionBy) keep
+    working; file order is the sorted relative path (deterministic)."""
     import pyarrow.parquet as pq
 
-    files = sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+    files = []
+    for root, _, names in os.walk(dest):
+        for name in names:
+            if name.endswith(".parquet"):
+                files.append(os.path.join(root, name))
+    files.sort(key=lambda p: os.path.relpath(p, dest))
     return [
-        {"partition_id": i, "rows": pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows}
+        {"partition_id": i, "rows": pq.ParquetFile(f).metadata.num_rows}
         for i, f in enumerate(files)
     ]
 
