@@ -668,6 +668,25 @@ def dd3_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
+@register(
+    "dd3b_minhash_lsh_highsim",
+    # full brute-force pairwise Jaccard as the oracle: at threshold 0.7 with
+    # 16 bands × 2 rows the LSH candidate-miss probability is ~(1-0.51²)¹⁶
+    # ≈ 2e-5 per pair — the LSH output equals the exact answer on this
+    # dataset (verified), so the approximate operator gets an EXACT oracle
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ("
+    "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
+    "WHERE len(t) >= 3) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.7",
+)
+def dd3b_minhash_lsh_highsim(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
+
+
 @register("dd4_simhash_near_pairs", None)  # rows-only (bit-vote hash not SQL-portable)
 def dd4_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
