@@ -16,7 +16,6 @@ from otel_kafka_pg_spark.streaming.stream_pipeline import (
     total_sink_counts,
 )
 
-
 @pytest.fixture(scope="module")
 def stream_input(spark, transcripts_path, tmp_path_factory):
     # split the fixture transcripts into several files so availableNow with
@@ -24,7 +23,6 @@ def stream_input(spark, transcripts_path, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("stream_in"))
     spark.read.parquet(transcripts_path).repartition(8).write.mode("overwrite").parquet(d)
     return d
-
 
 def test_stream_matches_batch_sinks(spark, stream_input, tmp_path_factory):
     stream_out = str(tmp_path_factory.mktemp("stream_out"))
@@ -47,14 +45,12 @@ def test_stream_matches_batch_sinks(spark, stream_input, tmp_path_factory):
     assert s_counts.exceptAll(b_counts).count() == 0
     assert b_counts.exceptAll(s_counts).count() == 0
 
-
 def test_stream_ran_in_multiple_microbatches(spark, stream_input, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stream_mb"))
     run_stream(spark, stream_input, out, max_files_per_trigger=2)
     # 8 input files / 2 per trigger → ≥4 committed micro-batches
     commits = [f for f in os.listdir(os.path.join(out, "_checkpoint", "commits")) if not f.startswith(".")]
     assert len(commits) >= 4
-
 
 def test_streaming_windowed_severity_counts(spark, stream_input, tmp_path_factory):
     q = (
@@ -83,3 +79,31 @@ def test_streaming_windowed_severity_counts(spark, stream_input, tmp_path_factor
         ).collect()
     }
     assert got == exp
+
+def test_stream_incremental_checkpoint_resume(spark, transcripts_path, tmp_path_factory):
+    """Checkpoint semantics: a second drain with the same checkpoint
+    processes ONLY files added since the first drain; the final sink state
+    equals one batch run over everything (no dropped or doubled rows)."""
+
+    src = str(tmp_path_factory.mktemp("inc_src"))
+    out = str(tmp_path_factory.mktemp("inc_out"))
+    full = spark.read.parquet(transcripts_path)
+    half1 = full.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    half2 = full.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+
+    half1.repartition(3).write.mode("overwrite").parquet(src)
+    run_stream(spark, src, out, max_files_per_trigger=2)
+    n_after_first = spark.read.parquet(os.path.join(out, "logs")).count()
+
+    # drop the new files in WITHOUT clearing the checkpoint
+    half2.repartition(3).write.mode("append").parquet(src)
+    run_stream(spark, src, out, max_files_per_trigger=2)
+
+    batch_out = str(tmp_path_factory.mktemp("inc_batch"))
+    run_pipeline(spark, src, batch_out, resume=False)
+    for sink in ("traces", "logs", "metrics"):
+        s = spark.read.parquet(os.path.join(out, sink))
+        b = spark.read.parquet(os.path.join(batch_out, sink))
+        assert s.exceptAll(b).count() == 0, sink
+        assert b.exceptAll(s).count() == 0, sink
+    assert spark.read.parquet(os.path.join(out, "logs")).count() > n_after_first
