@@ -176,34 +176,48 @@ def embedding_cosine_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc, pure JVM codegen (no Python in the path):
-    explode tokens → xxhash64(token) → per-bit vote sums as 64 aggregate
-    columns (map-side partial sums, one shuffle keyed by id) → reassemble
-    from vote signs. Shuffle payload is 64 longs per doc regardless of
-    document length — the 100 TB-safe shape (an earlier pandas-UDF version
-    looped per row in Python). Docs with no tokens hash to 0."""
+def _simhash_with(df: DataFrame, h, bits: int, text_col: str, id_col: str) -> DataFrame:
+    """Shared SimHash machinery: explode tokens → per-token hash expression
+    ``h`` → per-bit vote sums as ``bits`` aggregate columns (map-side
+    partial sums, one shuffle keyed by id) → reassemble from vote signs.
+    Shuffle payload is ``bits`` longs per doc regardless of document length
+    — the 100 TB-safe shape. Docs with no tokens hash to 0."""
     ids = df.select(F.col(id_col).alias("id"))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
     votes = toks.groupBy("id").agg(
         *[
             F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-            for j in range(64)
+            for j in range(bits)
         ]
     )
     # bit j set iff vote sum > 0; shiftleft(1L, 63) is Long.MIN_VALUE — the
-    # sign bit — so bit 63 lands correctly in two's complement
+    # sign bit — so even bit 63 lands correctly in two's complement
     acc = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         acc = acc + F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
             F.lit(0).cast("long")
         )
     hashed = votes.select("id", acc.alias("simhash"))
     return ids.join(hashed, "id", "left").select("id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc via xxhash64 token hashes — pure JVM codegen,
+    the default/fastest variant."""
+    return _simhash_with(df, F.xxhash64(F.col("tok")), 64, text_col, id_col)
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash whose token hash is the first 15 hex chars of
+    md5(token) — bit-for-bit reproducible OUTSIDE Spark (DuckDB:
+    ('0x' || substr(md5(tok),1,15))::BIGINT), so the whole operator gets an
+    exact cross-engine oracle. 15 hex chars = 60 bits keeps the value
+    inside a signed 64-bit long in both engines."""
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    return _simhash_with(df, h, 60, text_col, id_col)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

@@ -687,9 +687,35 @@ def dd3b_minhash_lsh_highsim(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
 
 
-@register("dd4_simhash_near_pairs", None)  # rows-only (bit-vote hash not SQL-portable)
+@register("dd4_simhash_near_pairs", None)  # xxhash64 variant → rows-only
 def dd4_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# DuckDB re-derivation of the md5-based 60-bit SimHash: per-token hash is
+# ('0x' || first 15 hex of md5)::BIGINT; 60 per-bit vote sums; bit set iff
+# votes > 0. Generated SQL (60 columns) — an exact cross-engine oracle for
+# the whole bit-vote pipeline.
+_DD4B_VOTES = ", ".join(
+    f"sum((( h >> {j} ) & 1) * 2 - 1) AS b{j}" for j in range(60)
+)
+_DD4B_RECOMBINE = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+
+
+@register(
+    "dd4b_simhash_md5_values",
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+    "FROM documents), "
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h "
+    "FROM toks WHERE tok != ''), "
+    f"votes AS (SELECT doc_id, {_DD4B_VOTES} FROM hashed GROUP BY doc_id) "
+    f"SELECT d.doc_id AS id, coalesce(v.sim, 0) AS simhash FROM documents d LEFT JOIN "
+    f"(SELECT doc_id, CAST({_DD4B_RECOMBINE} AS BIGINT) AS sim FROM votes) v USING (doc_id)",
+)
+def dd4b_simhash_md5_values(spark, sf_dir):
+    from .operators.dedup import simhash_md5
+
+    return simhash_md5(_t(spark, sf_dir, "documents"))
 
 
 @register(
