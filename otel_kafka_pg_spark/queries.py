@@ -509,6 +509,36 @@ def q2_ilike_star_skip_quirk(spark, sf_dir):
     return d.agg(F.count(F.lit(1)).alias("total"))
 
 
+@register(
+    "u1_upsert_merge",
+    # the S5/S6 upsert surface: apply an "updates" batch over a "base"
+    # table keyed by event_id, latest write (highest ts, updates beat base
+    # on ties) wins — MERGE/ON CONFLICT DO UPDATE re-expressed as
+    # union + row_number, the batch-idempotent form
+    "WITH base AS (SELECT event_id, ts, value, 0 AS src FROM events WHERE event_id % 2 = 0), "
+    "updates AS (SELECT event_id, ts, value * 2 AS value, 1 AS src FROM events WHERE event_id % 4 = 0), "
+    "unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, src DESC) AS rn "
+    "FROM unioned) "
+    "SELECT event_id, round(value, 3) AS value FROM ranked WHERE rn = 1",
+)
+def u1_upsert_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "ts", "value", F.lit(0).alias("src"))
+    updates = ev.filter(F.col("event_id") % 4 == 0).select(
+        "event_id", "ts", (F.col("value") * 2).alias("value"), F.lit(1).alias("src")
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("ts"), F.desc("src"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.round("value", 3).alias("value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.6): upsert-latest + lag
 # ---------------------------------------------------------------------------
