@@ -14,7 +14,9 @@ Four strategies, each with a distinct scale profile:
 - simhash              — 64-bit SimHash per doc, pure JVM: exploded tokens,
                          xxhash64, 64 per-bit vote-sum aggregates; near-dups
                          are docs at small Hamming distance, found by exact
-                         bucket join on 16-bit blocks (pigeonhole).
+                         bucket join on max_hamming+1 disjoint bit blocks
+                         (pigeonhole: ≤h flipped bits can't touch all h+1
+                         blocks, so recall is exact at the threshold).
 
 MinHash/LSH is pure JVM expressions: shingles → per-seed xxhash64 min →
 band hashes → explode → self-join on (band, hash). No Python in the path.
@@ -220,16 +222,41 @@ def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return _simhash_with(df, h, 60, text_col, id_col)
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: candidates share a 16-bit block (pigeonhole —
-    ≤3 differing bits over 4 blocks ⇒ at least one block equal), verified by
-    exact popcount Hamming distance."""
-    sh = simhash(df, text_col, id_col)
+def _block_specs(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_blocks`` disjoint nearly-equal (start, width)
+    blocks covering every bit exactly once."""
+    bounds = [round(i * bits / n_blocks) for i in range(n_blocks + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_blocks)]
+
+
+def near_pairs_from_simhash(sh: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Candidate pairs from a (id, simhash) frame via block-equality LSH,
+    verified by exact popcount Hamming distance.
+
+    Pigeonhole soundness: with ``n_blocks = max_hamming + 1`` disjoint
+    blocks, a pair differing in ≤ max_hamming bits cannot differ in every
+    block, so it shares at least one block verbatim — recall is exact at
+    the configured threshold for ANY max_hamming < bits (round 1 hardcoded
+    4×16-bit blocks, which only guarantees hamming ≤ 3; calls at
+    max_hamming=8 silently missed pairs whose 4-8 flipped bits spread
+    2-per-block)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_blocks} blocks > {bits} bits")
+    specs = _block_specs(bits, n_blocks)
     blocks = sh.select(
         "id",
         "simhash",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("blk"), F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")) for b in range(4)])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
+                    )
+                    for b, (start, width) in enumerate(specs)
+                ]
+            )
         ).alias("bk"),
     ).select("id", "simhash", "bk.blk", "bk.bv")
     a, b = blocks.alias("a"), blocks.alias("b")
@@ -240,3 +267,23 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    variant: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup pairs: block-equality candidate join (block count
+    derived from the threshold — see near_pairs_from_simhash) + exact
+    Hamming verify. ``variant='md5'`` uses the 60-bit md5 simhash, which is
+    bit-for-bit reproducible in DuckDB so the whole operator (hash → bit
+    votes → candidate join → Hamming filter) gets an exact cross-engine
+    oracle; ``'xxhash64'`` is the faster default for production use."""
+    if variant == "md5":
+        sh, bits = simhash_md5(df, text_col, id_col), 60
+    else:
+        sh, bits = simhash(df, text_col, id_col), 64
+    return near_pairs_from_simhash(sh, bits, max_hamming)

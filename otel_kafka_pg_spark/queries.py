@@ -717,11 +717,6 @@ def dd3b_minhash_lsh_highsim(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
 
 
-@register("dd4_simhash_near_pairs", None)  # xxhash64 variant → rows-only
-def dd4_simhash_near_pairs(spark, sf_dir):
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
-
-
 # DuckDB re-derivation of the md5-based 60-bit SimHash: per-token hash is
 # ('0x' || first 15 hex of md5)::BIGINT; 60 per-bit vote sums; bit set iff
 # votes > 0. Generated SQL (60 columns) — an exact cross-engine oracle for
@@ -730,6 +725,35 @@ _DD4B_VOTES = ", ".join(
     f"sum((( h >> {j} ) & 1) * 2 - 1) AS b{j}" for j in range(60)
 )
 _DD4B_RECOMBINE = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+
+_DD4_SIM_CTE = (
+    "toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+    "FROM documents), "
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h "
+    "FROM toks WHERE tok != ''), "
+    f"votes AS (SELECT doc_id, {_DD4B_VOTES} FROM hashed GROUP BY doc_id), "
+    f"sim AS (SELECT d.doc_id AS id, coalesce(v.s, 0) AS simhash FROM documents d LEFT JOIN "
+    f"(SELECT doc_id, CAST({_DD4B_RECOMBINE} AS BIGINT) AS s FROM votes) v USING (doc_id))"
+)
+
+
+@register(
+    "dd4_simhash_near_pairs",
+    # exact oracle for the WHOLE operator (token hash → bit votes →
+    # candidate join → Hamming filter): brute-force pairwise Hamming over
+    # the independently re-derived md5 simhash values. The Spark side's
+    # block-LSH candidate join has exact recall at max_hamming=8 by
+    # pigeonhole (9 disjoint blocks > 8 flips — see
+    # operators/dedup.py:near_pairs_from_simhash), so LSH output == the
+    # brute-force answer, not just approximately.
+    f"WITH {_DD4_SIM_CTE} "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM sim a JOIN sim b ON a.id < b.id "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8",
+)
+def dd4_simhash_near_pairs(spark, sf_dir):
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8, variant="md5")
 
 
 @register(

@@ -63,6 +63,55 @@ def test_simhash_near_pairs_flags_duplicates_only(spark):
     assert not any(3 in p for p in got)
 
 
+def test_simhash_candidate_recall_spread_bits(spark):
+    """The round-1 recall bug: 4 fixed 16-bit blocks only guarantee recall
+    for hamming ≤ 3. Plant pairs whose 4-8 flipped bits spread across every
+    16-bit block (2 per block) — no 16-bit block is equal, so the old code
+    silently dropped them; the threshold-derived block scheme must find
+    every one. Exhaustive cross-check vs brute-force Hamming."""
+    from itertools import combinations
+
+    from otel_kafka_pg_spark.operators.dedup import near_pairs_from_simhash
+
+    base = 0x123456789ABCDEF0
+    flips = [
+        base ^ 0x0003_0003_0003_0003,  # 8 bits, 2 per 16-bit block
+        base ^ 0x0001_0001_0001_0001,  # 4 bits, 1 per block
+        base ^ 0x0000_0000_0000_00FF,  # 8 bits, one block only
+        base ^ 0x8001_8001_8001_8001,  # 8 bits incl. the sign bit
+        base,  # identical twin
+        0x0F0F0F0F0F0F0F0F,  # far away (hamming >> 8)
+    ]
+    vals = [base, *flips]
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]  # two's-complement long
+    sh = spark.createDataFrame(list(enumerate(signed)), "id int, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near_pairs_from_simhash(sh, 64, 8).collect()}
+    exp = {
+        (i, j): bin(vals[i] ^ vals[j]).count("1")
+        for i, j in combinations(range(len(vals)), 2)
+        if bin(vals[i] ^ vals[j]).count("1") <= 8
+    }
+    assert got == exp  # exact recall AND no fabricated pairs
+    assert (0, 1) in exp and (0, 4) in exp  # the spread-bit pairs old code missed
+
+
+def test_simhash_md5_variant_matches_xxhash_pair_structure(spark):
+    # md5 variant (the oracle-portable one) flags the same planted dups
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(_docs(spark), max_hamming=8, variant="md5").collect()}
+    assert (0, 1) in got and (0, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_near_pairs_rejects_impossible_threshold(spark):
+    import pytest as _pytest
+
+    from otel_kafka_pg_spark.operators.dedup import near_pairs_from_simhash
+
+    sh = spark.createDataFrame([(0, 1)], "id int, simhash long")
+    with _pytest.raises(ValueError):
+        near_pairs_from_simhash(sh, 64, 64)
+
+
 def test_embedding_cosine_pairs_threshold(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
