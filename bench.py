@@ -45,29 +45,30 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PIPELINE_TURNS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
 
 # headline registry queries: every category represented, runtimes bounded
+# (drawn from all_queries() — driver window + locally-verified extras)
 HEADLINE = [
     "f1_time_range",
     "f6_ilike_substring",
     "a1_service_counts",
     "a4_trace_groups",
+    "a5_trace_reassembly",
     "a6_service_stats",
     "a7_service_metrics_percentiles",
     "j1_left_join_group_count",
     "j3_broadcast_enrich",
     "w1_latest_per_user",
     "w3_sessionization",
-    "sc1_time_bucket_agg",
-    "o1_sort_desc_page",
+    "u2_merge_into",
     "tpch_q1",
     "r1_request_lifecycle_page",
     "dd1_exact_dedup",
     "dp1_corpus_prep_dedup",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
-    "t1_token_stats",
-    "t2_lang_id",
+    "t1_text_profile",
     "e1_cosine_topk",
     "e2_lsh_ann_topk",
+    "e3_ivf_ann_topk",
 ]
 
 
@@ -146,7 +147,7 @@ def run_pipeline_bench(
 def run_queries_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from otel_kafka_pg_spark import queries as registry
 
-    qs = registry.queries()
+    qs = registry.all_queries()
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]

@@ -146,7 +146,12 @@ def trace_groups(orders: DataFrame, k: int = 100) -> DataFrame:
 
 def trace_reassembly(lineitem: DataFrame, max_orderkey: int = 100) -> DataFrame:
     """A5: reassemble one trace's spans — min start, max end, span count,
-    distinct services (trace repo:115-211) — lineitems-per-order analog."""
+    distinct services, AND the full span list ordered by start time
+    (the reference returns spans ORDER BY start_time ASC,
+    trace/repository/repository.go:123) — lineitems-per-order analog.
+    ``span_seq`` is collect_list(struct(start, id)) sorted then projected
+    to ids: per-group data only, no extra shuffle beyond the groupBy."""
+    span_struct = F.struct(F.col("l_shipdate").alias("s"), F.col("l_linenumber").alias("ln"))
     return (
         lineitem.filter(F.col("l_orderkey") <= max_orderkey)
         .groupBy("l_orderkey")
@@ -157,6 +162,13 @@ def trace_reassembly(lineitem: DataFrame, max_orderkey: int = 100) -> DataFrame:
             F.array_join(
                 F.sort_array(F.collect_set(F.col("l_suppkey").cast("string"))), ","
             ).alias("services"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(span_struct)),
+                    lambda x: x["ln"].cast("string"),
+                ),
+                ",",
+            ).alias("span_seq"),
         )
     )
 

