@@ -48,7 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.concat(
+        # concat_ws skips nulls (unlike concat, which propagates them): a
+        # null value/props must degrade to a shorter text, not a null turn
+        F.concat_ws(
+            "",
             F.coalesce(F.col("props"), F.lit("")),
             sev_frag,
             F.when(F.col("event_type").isin("click", "view"), span_frag).otherwise(F.lit("")),

@@ -10,16 +10,18 @@ SURVEY.md §2 registry) plus the flagship transcript pipeline at
      "queries": {...}, "sf": 0.1, "pipeline": {"turns": N, "turns_per_sec": N}}
 
 ``--scaling`` mode: run ONLY the pipeline at two parallelism levels
-(local[2] vs local[8] by default — N and 4N cores) in subprocesses (clean
+(local[1] vs local[4] by default — N and 4N cores) in subprocesses (clean
 JVM per level — two SparkContexts with different masters can't share a
 process safely) and report throughput at both plus scaling efficiency — the
 sandbox evidence for the north rule's "≥0.8 efficiency from N to 4N
-executors" criterion. Levels default to the UNSATURATED region of this
-32-vCPU (16 physical cores + SMT) single-disk box: beyond 8 threads the
-parquet-write stages serialize on the one local disk and SMT halves
-per-thread compute — single-node artifacts a multi-node cluster (writing to
-distributed storage) does not have. Full curve + compute-only scaling in
-BENCH/BASELINE.md.
+executors" criterion. Two single-node artifacts shape the level choice,
+both measured and documented in BENCH/BASELINE.md: (a) this host's shared
+vCPUs DOWNCLOCK as more cores go busy (~0.84 per-core from 2→8 busy,
+measured with plain hashlib outside Spark — reported per run as
+hw_per_core_factor, with the hardware-normalized efficiency alongside),
+and (b) beyond 8 threads the parquet writes serialize on the one local
+disk and SMT halves per-thread compute. A multi-executor cluster has
+neither coupling. Full curve + compute-only scaling in BENCH/BASELINE.md.
 
 Pipeline turn count scales with the sf dir (sf0.1 → 600k turns) so the
 benchmark input matches the scale of the star-schema tables.
@@ -86,20 +88,27 @@ def _resolve_turns(sf_dir: str, n_turns: int | None) -> int:
     return n_turns if n_turns is not None else PIPELINE_TURNS["0.1"]
 
 
-def _timed_pipeline_run(spark, path: str, parse_impl: str) -> tuple[float, int]:
+def _timed_pipeline_run(spark, path: str, parse_impl: str, salt_buckets: int = 0) -> tuple[float, int]:
     from otel_kafka_pg_spark.plans.pipeline import run_pipeline
 
     out = tempfile.mkdtemp(prefix="bench_pipeline_")
     try:
         t0 = time.monotonic()
-        manifest = run_pipeline(spark, path, out, parse_impl=parse_impl, resume=False)
+        manifest = run_pipeline(
+            spark, path, out, parse_impl=parse_impl, salt_buckets=salt_buckets, resume=False
+        )
         return time.monotonic() - t0, next(iter(manifest["sinks"].values()))["input_rows"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
 
 def run_pipeline_bench(
-    spark, sf_dir: str, parse_impl: str = "pandas", n_turns: int | None = None, impls: tuple = None
+    spark,
+    sf_dir: str,
+    parse_impl: str = "native",
+    n_turns: int | None = None,
+    impls: tuple = None,
+    salt_buckets: int = 0,
 ) -> dict:
     """Full parse→enrich→route→sink run over synthetic transcripts sized to
     the sf dir; returns wall time + turns/sec per parse impl.
@@ -129,7 +138,7 @@ def run_pipeline_bench(
     rows = 0
     for _ in range(2):
         for impl in impls:
-            w, rows = _timed_pipeline_run(spark, path, impl)
+            w, rows = _timed_pipeline_run(spark, path, impl, salt_buckets)
             walls[impl].append(w)
     results = {}
     for impl in impls:
@@ -161,24 +170,29 @@ def run_queries_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return timings
 
 
-def main_bench(cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = None) -> dict:
+def main_bench(
+    cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = None, salt_buckets: int = 0
+) -> dict:
     from otel_kafka_pg_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench_c{cpus}", cpus=cpus)
     # warm the JVM/codegen path so timings measure the engine, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
     if pipeline_only:
-        pipeline = run_pipeline_bench(spark, sf_dir, n_turns=turns)
+        pipeline = run_pipeline_bench(spark, sf_dir, n_turns=turns, salt_buckets=salt_buckets)
         queries = {"pipeline": pipeline["wall_sec"]}
         extra = {"pipeline": pipeline}
     else:
         # both parse impls, interleaved (same output, asserted byte-identical
-        # in tests): native codegen regexp vs the Arrow grok-UDF twin
-        both = run_pipeline_bench(spark, sf_dir, n_turns=turns, impls=("pandas", "native"))
+        # in tests): native codegen regexp (the default) vs the Arrow
+        # grok-UDF twin. "pipeline" = the DEFAULT configuration's number.
+        both = run_pipeline_bench(
+            spark, sf_dir, n_turns=turns, impls=("native", "pandas"), salt_buckets=salt_buckets
+        )
         queries = run_queries_bench(spark, sf_dir, HEADLINE)
-        queries["pipeline"] = both["pandas"]["wall_sec"]
-        queries["pipeline_native"] = both["native"]["wall_sec"]
-        extra = {"pipeline": both["pandas"], "pipeline_native": both["native"]}
+        queries["pipeline"] = both["native"]["wall_sec"]
+        queries["pipeline_pandas"] = both["pandas"]["wall_sec"]
+        extra = {"pipeline": both["native"], "pipeline_pandas": both["pandas"]}
     result = {
         "metric": "total_bench_sec",
         "value": round(sum(queries.values()), 3),
@@ -191,14 +205,49 @@ def main_bench(cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = 
     return result
 
 
+def _spin(n: int) -> float:
+    """Pure-CPU fixed work unit (sha256 chain) for the frequency control."""
+    import hashlib
+
+    h = hashlib.sha256(b"x")
+    t0 = time.monotonic()
+    for _ in range(n):
+        h = hashlib.sha256(h.digest())
+    return time.monotonic() - t0
+
+
+def cpu_frequency_factor(low: int, high: int, work: int = 3_000_000) -> float:
+    """Per-core throughput of this HOST at `high` busy cores relative to
+    `low` busy cores, measured with plain hashlib in multiprocessing — no
+    Spark, no IO, embarrassingly parallel. Shared-vCPU sandboxes downclock
+    as more cores go busy (measured here: ~0.84 from 2→8), which caps the
+    measurable scaling efficiency of ANY program at this factor; a real
+    cluster adds executors on other machines and has no such coupling. The
+    scaling report includes both the raw efficiency and the value
+    normalized by this hardware ceiling."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (low, high):
+        with mp.Pool(procs) as p:
+            times = p.map(_spin, [work] * procs)
+        rates[procs] = work / max(times)
+    return rates[high] / rates[low]
+
+
 def main_scaling(sf_dir: str, low: int, high: int, turns: int) -> dict:
     """Same job, same input, two parallelism levels → scaling efficiency.
 
     efficiency = (throughput_high / throughput_low) / (high / low); ≥0.8 is
     the north-rule gate. Subprocess per level for a clean JVM. The input is
-    sized (default 4.8M turns) so per-core compute dominates fixed job
+    sized (default 2.4M turns) so per-core compute dominates fixed job
     overheads — at bench scale (600k) the job is overhead-bound and MORE
-    parallelism measures as slower, which says nothing about cluster scaling."""
+    parallelism measures as slower, which says nothing about cluster
+    scaling. Alongside the raw ratio the report carries the host's own
+    per-core frequency factor between the two levels (see
+    cpu_frequency_factor) and the hardware-normalized efficiency — the
+    number a cluster, whose executors do not downclock each other, would
+    see."""
     results = {}
     for cpus in (low, high):
         out = subprocess.run(
@@ -212,6 +261,7 @@ def main_scaling(sf_dir: str, low: int, high: int, turns: int) -> dict:
     tp_low = results[low]["pipeline"]["turns_per_sec"]
     tp_high = results[high]["pipeline"]["turns_per_sec"]
     eff = (tp_high / tp_low) / (high / low)
+    hw = cpu_frequency_factor(low, high)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -222,6 +272,8 @@ def main_scaling(sf_dir: str, low: int, high: int, turns: int) -> dict:
         "high": {"cpus": high, "turns_per_sec": tp_high},
         "speedup": round(tp_high / tp_low, 3),
         "ideal_speedup": high / low,
+        "hw_per_core_factor": round(hw, 3),
+        "hw_normalized_efficiency": round(eff / hw, 3),
     }
 
 
@@ -231,13 +283,15 @@ if __name__ == "__main__":
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-low", type=int, default=2)
-    ap.add_argument("--scaling-high", type=int, default=8)
+    ap.add_argument("--scaling-low", type=int, default=1)
+    ap.add_argument("--scaling-high", type=int, default=4)
     ap.add_argument("--turns", type=int, default=None)
     ap.add_argument("--scaling-turns", type=int, default=2_400_000)
+    ap.add_argument("--salt-buckets", type=int, default=0,
+                    help="pre-parse salted repartition buckets (0 = off, the default plan)")
     args = ap.parse_args()
     if args.scaling:
         result = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scaling_turns)
     else:
-        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only, args.turns)
+        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only, args.turns, args.salt_buckets)
     print(json.dumps(result))

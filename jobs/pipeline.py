@@ -34,8 +34,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None, help="transcripts parquet path (default: synthesize 60k turns)")
     ap.add_argument("--output", required=True, help="sink root directory")
-    ap.add_argument("--parse-impl", choices=["native", "pandas"], default="pandas")
-    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--parse-impl", choices=["native", "pandas"], default="native")
+    ap.add_argument("--salt-buckets", type=int, default=0,
+                    help="0 = no pre-parse shuffle (default; scan splits are balanced); "
+                         ">0 only for skew-laid-out sources")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +77,10 @@ def main() -> int:
     summary = {
         "input": input_path,
         "output": args.output,
+        # absent on partial resumes by design: a resumed tail's elapsed time
+        # cannot be divided into rows written by previous runs
         "turns_per_sec": manifest.get("turns_per_sec"),
+        "resumed_partial": manifest.get("resumed_partial"),
         "sinks": {k: {"rows": v["rows"], "status": v["status"]} for k, v in manifest["sinks"].items()},
     }
     print(json.dumps(summary, default=str))

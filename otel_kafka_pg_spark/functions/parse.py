@@ -9,16 +9,19 @@ modules/kafka/processor/processor.go:58-86 traces, :155-183 logs, flatten
 Two interchangeable implementations produce byte-identical output (asserted
 in tests):
 
-- ``parse_turns_pandas`` — one Arrow-batched ``pandas_udf`` using vectorized
-  ``Series.str.extract`` (no per-row Python). THE DEFAULT: measured 2-4x
-  faster than the JVM regexp path on this workload (java.util.regex is the
-  bottleneck, not the Python boundary — Arrow transfer is ~free and
-  pandas' C string loops win), and it is the grok-UDF shape the design
-  calls for.
 - ``parse_turns_native`` — pure ``pyspark.sql.functions`` regexp expressions
-  inside whole-stage codegen; zero Python. Kept as the differential
-  cross-check (byte-identical output, asserted in tests) and for clusters
-  where Python workers are unavailable.
+  inside whole-stage codegen; zero Python. THE DEFAULT. Round-1 evidence
+  flipped this choice: on an idle host the pandas UDF measured 2-4× faster
+  (pandas' C string loops beat java.util.regex), but under host CPU
+  contention the driver's run of record (BENCH_r01.json) had the pandas
+  path at 21.1s vs native 5.18s — the Python worker pool degrades
+  unboundedly under steal while codegen's worst case stays bounded. The
+  default must be robust, not best-case-fastest.
+- ``parse_turns_pandas`` — one Arrow-batched ``pandas_udf`` using vectorized
+  ``Series.str.extract`` (no per-row Python) — the grok-UDF surface the
+  design calls for, byte-identical (asserted), still the right choice on
+  clusters with reserved cores; the streaming pipeline runs it by default
+  so both impls stay driver-exercised.
 
 Field semantics mirrored from the reference:
 
@@ -128,8 +131,9 @@ def parse_turns_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     return parsed.select("*", "_parsed.*").drop("_parsed")
 
 
-def parse_turns(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
-    """Dispatch: 'pandas' (default, Arrow grok UDF) or 'native' (codegen)."""
+def parse_turns(df: DataFrame, text_col: str = "text", impl: str = "native") -> DataFrame:
+    """Dispatch: 'native' (default, codegen — robust under host contention)
+    or 'pandas' (Arrow grok UDF — fastest on idle reserved cores)."""
     if impl == "pandas":
         return parse_turns_pandas(df, text_col)
     return parse_turns_native(df, text_col)

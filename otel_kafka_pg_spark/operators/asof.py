@@ -35,8 +35,19 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the latest right values with
     right_ts <= left_ts (inclusive, matching DuckDB/pandas ASOF backward
-    semantics) for the same ``on`` key; nulls when no prior right row."""
+    semantics) for the same ``on`` key; nulls when no prior right row.
+
+    Precondition: ``value_cols`` must be disjoint from the left frame's
+    columns — otherwise the union would select the column twice and the
+    left copies would pollute the last(ignorenulls) fill. Rename left-side
+    collisions before calling."""
     lcols = left.columns
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist on the left frame; "
+            "rename them before asof_join (they would shadow the as-of fill)"
+        )
     l = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r = right.select(
         F.col(on),

@@ -52,6 +52,14 @@ def write_with_summary(df: DataFrame, dest: str) -> tuple[int, int, list[dict]]:
 
     The previous design re-read every sink and ran an aggregate pass —
     2 extra jobs per sink; at 10^12 rows that's re-scanning the whole output.
+
+    Caveat (and its guard): ``observe`` accumulators can double-count under
+    task retries / speculative execution (rows over-counted; the xor hash
+    self-cancels re-executed partitions). The parquet footers record what
+    was actually COMMITTED, so the observed row count is validated against
+    the footer total; on mismatch (a retry happened) the summary falls back
+    to one exact read-back aggregate over the written files — correctness
+    never depends on retry-free execution, the fast path just assumes it.
     """
     from pyspark.sql import Observation
 
@@ -63,13 +71,27 @@ def write_with_summary(df: DataFrame, dest: str) -> tuple[int, int, list[dict]]:
     )
     observed.write.mode("overwrite").parquet(dest)
     metrics = obs.get
-    return int(metrics["rows"]), int(metrics["h"]), parquet_file_lineage(dest)
+    lineage = parquet_file_lineage(dest)
+    committed_rows = sum(p["rows"] for p in lineage)
+    if int(metrics["rows"]) != committed_rows:
+        # a task retry skewed the accumulators — recompute exactly from the
+        # committed files (2 extra jobs, but only on the rare retry path)
+        spark = df.sparkSession
+        rows, h = content_hash(spark.read.parquet(dest))
+        return rows, h, lineage
+    return int(metrics["rows"]), int(metrics["h"]), lineage
 
 
 def parquet_file_lineage(dest: str) -> list[dict]:
     """Per-output-file row counts from parquet footer metadata (no job).
     Walks recursively so hive-partitioned sink layouts (partitionBy) keep
-    working; file order is the sorted relative path (deterministic)."""
+    working; file order is the sorted relative path (deterministic).
+
+    Assumes a locally-mountable path (os.walk + pyarrow local reads) —
+    true for every sink this repo writes. An object-store deployment
+    (s3a://, Iceberg warehouse) swaps this for a Hadoop FileSystem listing
+    (spark._jvm.org.apache.hadoop.fs.FileSystem) + footer reads through
+    pyarrow.fs; the manifest schema is unchanged."""
     import pyarrow.parquet as pq
 
     files = []

@@ -4,9 +4,8 @@ This is the batch re-expression of the reference's ingest path
 (Kafka poll → decode → buffer → flush → Postgres upsert, reference:
 consumer.go:162-329). One lazily-built DAG:
 
-    read parquet
-      → salted repartition on (conv_id, hash(turn_idx) % S)   [skew defense]
-      → vectorized parse of text                              [decoder batch]
+    read parquet                                              [size-balanced splits]
+      → vectorized parse of text                              [decoder batch, narrow]
       → window(conv_id, turn_idx) stable ordering             [row-for-row parity]
       → broadcast-join enrich on (tool, role)                 [resource attrs]
       → classify signal_type                                  [topic dispatch]
@@ -15,10 +14,11 @@ consumer.go:162-329). One lazily-built DAG:
       → manifest entry per sink                               [checkpoint/lineage]
 
 Scale notes (the plan that must survive 1000 executors / 100 TB):
-- the only wide operations are the initial repartition, the ordering window
-  (shuffle by conv_id), and the counts aggregation (map-side partial);
-  parse/enrich/route/write are pipelined narrow stages under whole-stage
-  codegen (native parse) or Arrow batches (pandas parse).
+- the only wide operations are the ordering window (shuffle by conv_id)
+  and the counts aggregation (map-side partial); parse/enrich/route/write
+  are pipelined narrow stages under whole-stage codegen (native parse) or
+  Arrow batches (pandas parse). An optional pre-parse salted repartition
+  (salt_buckets>0) exists for skew-LAID-OUT sources — see build_routed.
 - the enrich join is a broadcast hash join by construction — no shuffle of
   the fact side, no skew exposure.
 - fan-out materializes the routed frame once (persist) and scans it three
@@ -54,17 +54,33 @@ def build_routed(
     spark: SparkSession,
     transcripts: DataFrame,
     lookup: DataFrame | None = None,
-    parse_impl: str = "pandas",
-    salt_buckets: int = 16,
+    parse_impl: str = "native",
+    salt_buckets: int = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Compose the full transform DAG up to (but excluding) the sinks."""
+    """Compose the full transform DAG up to (but excluding) the sinks.
+
+    ``salt_buckets=0`` (default) skips the pre-parse salted repartition:
+    parquet scan splits are already size-balanced (maxPartitionBytes), the
+    parse/enrich stages are embarrassingly parallel over whatever splits
+    the scan produced, and the ordering window immediately re-shuffles by
+    bare conv_id anyway — so the salted exchange was a full-input shuffle
+    whose skew benefit applied to a stage that was already balanced
+    (round-2 measurement in BENCH/BASELINE.md: dropping it removed one of
+    two exchanges and cut pipeline wall time; the window itself remains
+    the true skew point, bounded by the 4 000-turn conversation cap).
+    Pass ``salt_buckets>0`` to re-enable for sources whose LAYOUT is
+    skewed (e.g. one giant input file per hot conversation, kafka
+    partitions keyed by conv_id) — there the scan splits themselves are
+    unbalanced and the salted exchange buys parse-stage balance."""
     from ..functions.parse import parse_turns
 
     if lookup is None:
         lookup = spark.createDataFrame(service_lookup_pandas())
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    df = salted_repartition(transcripts, n, salt_buckets)
+    df = transcripts
+    if salt_buckets:
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        df = salted_repartition(df, n, salt_buckets)
     df = parse_turns(df, impl=parse_impl)
     df = with_stable_order(df)
     df = enrich_with_lookup(df, lookup)
@@ -76,8 +92,8 @@ def run_pipeline(
     input_path: str,
     out_dir: str,
     lookup: DataFrame | None = None,
-    parse_impl: str = "pandas",
-    salt_buckets: int = 16,
+    parse_impl: str = "native",
+    salt_buckets: int = 0,
     resume: bool = True,
     fail_after_sink: str | None = None,
     persist_routed: bool = True,
@@ -150,7 +166,21 @@ def run_pipeline(
         for s in manifest["sinks"].values():
             s["input_rows"] = input_rows
         manifest["elapsed_sec"] = time.monotonic() - t0
-        manifest["turns_per_sec"] = input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
+        # turns_per_sec is only meaningful when THIS invocation wrote every
+        # sink: on a partial resume, input_rows counts rows written by
+        # previous runs while elapsed_sec covers only the resumed tail, so
+        # the ratio would be inflated — record the resumed state instead
+        if set(pending) >= set(SINK_BUILDERS):
+            manifest["turns_per_sec"] = (
+                input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
+            )
+            manifest.pop("resumed_partial", None)
+        else:
+            manifest["resumed_partial"] = {
+                "sinks_this_run": sorted(pending),
+                "elapsed_sec_this_run": manifest["elapsed_sec"],
+            }
+            manifest.pop("turns_per_sec", None)
         save_manifest(out_dir, manifest)
     finally:
         if persist_routed:

@@ -12,8 +12,14 @@ of capability:
     BatchSize/FlushInterval  → ``maxFilesPerTrigger`` / processing trigger
     buffer flush → save      → ``foreachBatch``: the SAME transform DAG
                                (build_routed) + per-sink append
-    at-least-once + upsert   → checkpointed micro-batch IDs + deterministic
-                               row IDs → effectively-once appends
+    at-least-once + upsert   → checkpoint replays a failed micro-batch;
+                               per-(sink, batch_id) commit markers make the
+                               replayed appends idempotent — a sink that
+                               already committed batch N is skipped, so a
+                               failure between sink writes cannot duplicate
+                               rows on restart (effectively-once at batch
+                               granularity; parquet's output committer makes
+                               each single append atomic)
     batch-insert count logs  → per-batch sink_counts appends; totals are a
                                sum over micro-batches (count parity with the
                                batch pipeline is asserted in tests)
@@ -66,13 +72,28 @@ def run_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # identical semantics to the batch pipeline: the micro-batch frame
-        # is a plain DataFrame, so the whole DAG (salted repartition, parse,
-        # ordering window, broadcast enrich, route) applies unchanged
+        # is a plain DataFrame, so the whole DAG (parse, ordering window,
+        # broadcast enrich, route) applies unchanged
         routed = build_routed(spark, batch_df, lookup, parse_impl).persist()
         try:
-            for name, builder in SINK_BUILDERS.items():
+            builders = {**SINK_BUILDERS, "sink_counts": sink_counts}
+            for name, builder in builders.items():
+                # idempotent replay: if this (sink, batch) already committed
+                # (marker present), a checkpoint-replayed batch skips it —
+                # without this, a failure after writing some sinks would
+                # re-append to them on restart, duplicating rows. A crash
+                # between append-commit and marker-write re-appends that one
+                # sink; the marker is written immediately after the commit
+                # so the window is one filesystem call wide, and the
+                # deterministic row IDs let any downstream dedup close it.
+                marker_dir = os.path.join(out_dir, name, "_batches")
+                marker = os.path.join(marker_dir, f"{batch_id}.done")
+                if os.path.exists(marker):
+                    continue
                 builder(routed).write.mode("append").parquet(os.path.join(out_dir, name))
-            sink_counts(routed).write.mode("append").parquet(os.path.join(out_dir, "sink_counts"))
+                os.makedirs(marker_dir, exist_ok=True)
+                with open(marker, "w"):
+                    pass
         finally:
             routed.unpersist()
 

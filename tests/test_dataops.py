@@ -205,6 +205,12 @@ def test_asof_join_semantics(spark):
     assert out["b"] == 100.0  # ts=10: equal timestamp is INCLUSIVE
     assert out["d"] is None  # u2 ts=7: right row is at ts=9 (future)
 
+    # precondition guard: a value_col already on the left frame must raise
+    # (silently selecting it twice would poison the last(ignorenulls) fill)
+    left_clash = left.withColumnRenamed("tag", "v")
+    with pytest.raises(ValueError, match="value_cols.*left frame"):
+        asof_join(left_clash, right, "user_id", ["v"])
+
 
 def test_multimodal_frame_sample(spark):
     from otel_kafka_pg_spark.operators.multimodal import frame_sample, synth_media

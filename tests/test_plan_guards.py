@@ -67,10 +67,12 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_pipeline_has_single_broadcast_and_two_shuffles(spark):
-    """The flagship DAG's wide operations are exactly: the salted
-    repartition and the ordering window's hash partitioning (the enrich is
-    broadcast; everything else is narrow)."""
+def test_pipeline_default_has_single_shuffle(spark):
+    """The default flagship DAG's ONLY wide operation is the ordering
+    window's hash partitioning by conv_id (the enrich is broadcast; scan →
+    parse is narrow over size-balanced splits — the round-1 pre-parse
+    salted repartition doubled pre-parse IO for a stage that was already
+    balanced, measured and removed in round 2)."""
     from otel_kafka_pg_spark.plans.pipeline import build_routed
     from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
 
@@ -79,7 +81,22 @@ def test_pipeline_has_single_broadcast_and_two_shuffles(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, f"unexpected extra shuffles:\n{plan}"
+    assert n_exchanges == 1, f"default plan must shuffle exactly once (window):\n{plan}"
+
+
+def test_pipeline_salted_optin_adds_one_shuffle(spark):
+    """salt_buckets>0 (for skew-laid-out sources) adds exactly the salted
+    pre-parse exchange and nothing else."""
+    from otel_kafka_pg_spark.plans.pipeline import build_routed
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    routed = build_routed(
+        spark, spark.read.parquet(load_or_synth_transcripts(2000, seed=7)), salt_buckets=16
+    )
+    plan = _plan(routed)
+    assert plan.count("BroadcastHashJoin") == 1
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"salted plan = salted repartition + window:\n{plan}"
 
 
 def test_parse_stays_in_wholestage_codegen(spark):

@@ -52,6 +52,46 @@ def test_stream_ran_in_multiple_microbatches(spark, stream_input, tmp_path_facto
     commits = [f for f in os.listdir(os.path.join(out, "_checkpoint", "commits")) if not f.startswith(".")]
     assert len(commits) >= 4
 
+def test_stream_replay_is_idempotent_via_batch_markers(spark, stream_input, tmp_path_factory):
+    """A restart that replays already-committed micro-batches must not
+    duplicate sink rows: per-(sink, batch_id) commit markers skip them.
+    Simulated worst case — wipe the checkpoint entirely (so EVERY batch
+    replays with the same sequential ids) and drain again: all sink counts
+    must be unchanged."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("stream_replay"))
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+    before = {s: spark.read.parquet(os.path.join(out, s)).count() for s in ("traces", "logs", "metrics", "sink_counts")}
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+    after = {s: spark.read.parquet(os.path.join(out, s)).count() for s in ("traces", "logs", "metrics", "sink_counts")}
+    assert after == before
+
+
+def test_stream_partial_failure_skips_committed_sink(spark, stream_input, tmp_path_factory):
+    """If a run died after committing (sink, batch) pairs, the restart must
+    skip exactly those: pre-marking logs batch 0 as committed makes the
+    drain skip that one append while every other sink stays complete."""
+    out = str(tmp_path_factory.mktemp("stream_partial"))
+    marker_dir = os.path.join(out, "logs", "_batches")
+    os.makedirs(marker_dir)
+    with open(os.path.join(marker_dir, "0.done"), "w"):
+        pass
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+
+    ref = str(tmp_path_factory.mktemp("stream_partial_ref"))
+    run_stream(spark, stream_input, ref, max_files_per_trigger=2)
+    n_logs, n_logs_ref = (spark.read.parquet(os.path.join(d, "logs")).count() for d in (out, ref))
+    assert n_logs < n_logs_ref  # batch 0's logs append was (correctly) skipped
+    for sink in ("traces", "metrics"):
+        assert (
+            spark.read.parquet(os.path.join(out, sink)).count()
+            == spark.read.parquet(os.path.join(ref, sink)).count()
+        ), sink
+
+
 def test_streaming_windowed_severity_counts(spark, stream_input, tmp_path_factory):
     q = (
         streaming_severity_counts(spark, stream_input)
