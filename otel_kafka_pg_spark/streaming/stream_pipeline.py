@@ -24,8 +24,12 @@ of capability:
                                sum over micro-batches (count parity with the
                                batch pipeline is asserted in tests)
 
-A swap of the source line to ``spark.readStream.format("kafka")`` gives the
-reference's exact topology; the file source keeps tests hermetic.
+``source_format="kafka"`` selects the reference's exact topology — two
+subscribed topics, earliest offsets, value-decode before the shared DAG
+(consumer config parity mapped in ``_kafka_turn_stream``); the default
+file source keeps tests hermetic (no broker or kafka connector jar exists
+in this container, so the kafka branch is wired and config-checked but
+only runnable on a cluster that ships spark-sql-kafka).
 
 ``streaming_severity_counts`` additionally demonstrates the event-time path
 the reference lacks entirely (SURVEY §2.10: no watermarks, no event-time
@@ -45,6 +49,32 @@ from ..operators.route import SINK_BUILDERS, sink_counts
 from ..schemas import TRANSCRIPTS
 
 
+# The reference's consumer topology (modules/kafka/consumer/consumer.go):
+# two topics (:116), earliest offset + range assignment (:91-95), group id
+# from config. Structured Streaming equivalents, used verbatim by the
+# kafka source branch below.
+KAFKA_DEFAULTS = {
+    "subscribe": "otlp-traces,otlp-logs",  # TracesTopic + LogsTopic (consumer.go:116)
+    "startingOffsets": "earliest",  # auto.offset.reset=earliest (consumer.go:91)
+    "failOnDataLoss": "false",  # at-least-once, replay-tolerant (markers dedup)
+    # partition assignment/poll cadence are broker-side or trigger-side in
+    # Structured Streaming: maxOffsetsPerTrigger is the BatchSize analog
+    "maxOffsetsPerTrigger": "400",
+}
+
+
+def _kafka_turn_stream(spark: SparkSession, kafka_options: dict) -> DataFrame:
+    """readStream.format("kafka") → transcript-turn frame: each record's
+    value is a JSON-encoded turn (the wire analog of the reference's
+    protobuf payload); the topic column is retained so the router's
+    signal classification can be cross-checked against topic dispatch
+    (consumer.go:242-271). Requires the spark-sql-kafka connector jar."""
+    opts = {**KAFKA_DEFAULTS, **kafka_options}
+    raw = spark.readStream.format("kafka").options(**opts).load()
+    turn = F.from_json(F.col("value").cast("string"), TRANSCRIPTS)
+    return raw.select(F.col("topic").alias("_topic"), turn.alias("t")).select("_topic", "t.*").drop("_topic")
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,
@@ -52,23 +82,32 @@ def run_stream(
     lookup: DataFrame | None = None,
     max_files_per_trigger: int = 4,
     parse_impl: str = "pandas",
+    source_format: str = "files",
+    kafka_options: dict | None = None,
 ) -> None:
-    """Drain ``input_dir`` (parquet files of transcript turns) through the
-    full transform DAG in micro-batches; append per-sink parquet + counts.
+    """Drain the source through the full transform DAG in micro-batches;
+    append per-sink parquet + counts.
 
-    Uses ``trigger(availableNow=True)``: process everything currently
-    present, in ``max_files_per_trigger`` chunks (the BatchSize analog),
-    then stop — the hermetic-test / backfill mode. A production deployment
-    drops ``availableNow`` for a continuous processing-time trigger.
+    ``source_format="files"`` (default): parquet files under ``input_dir``,
+    ``trigger(availableNow=True)`` — process everything currently present
+    in ``max_files_per_trigger`` chunks (the BatchSize analog), then stop:
+    the hermetic-test / backfill mode. ``source_format="kafka"``: the
+    reference's topology (two topics, earliest offsets — see
+    KAFKA_DEFAULTS); pass ``kafka_options`` with at least
+    ``kafka.bootstrap.servers``. A production deployment drops
+    ``availableNow`` for a continuous processing-time trigger.
     """
     from ..plans.pipeline import build_routed
 
     checkpoint = os.path.join(out_dir, "_checkpoint")
-    stream = (
-        spark.readStream.schema(TRANSCRIPTS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    if source_format == "kafka":
+        stream = _kafka_turn_stream(spark, kafka_options or {})
+    else:
+        stream = (
+            spark.readStream.schema(TRANSCRIPTS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # identical semantics to the batch pipeline: the micro-batch frame
