@@ -67,6 +67,7 @@ HEADLINE = [
     "dp1_corpus_prep_dedup",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
+    "dd4x_simhash_fast",
     "t1_text_profile",
     "e1_cosine_topk",
     "e2_lsh_ann_topk",
@@ -136,7 +137,7 @@ def run_pipeline_bench(
             shutil.rmtree(warm_out, ignore_errors=True)
     walls = {impl: [] for impl in impls}
     rows = 0
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: single steal windows can swallow 2 runs
         for impl in impls:
             w, rows = _timed_pipeline_run(spark, path, impl, salt_buckets)
             walls[impl].append(w)

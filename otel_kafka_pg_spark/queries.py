@@ -741,6 +741,17 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
+@register_extra("dd4x_simhash_fast", None)  # xxhash64 not reproducible in DuckDB
+def dd4x_simhash_fast(spark, sf_dir):
+    # the PRODUCTION SimHash path: xxhash64 token hashes (codegen, no md5
+    # digest cost) with the same threshold-derived block-LSH candidate
+    # join; dd4 (driver window) is the md5 twin whose only purpose is the
+    # exact cross-engine oracle — bench carries both so the oracle tax is
+    # visible (sf0.1: md5 9.1s vs xxhash 8.2s — the 64 vote aggregates,
+    # not the token hash, dominate)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
 @register_extra("ax1_approx_sketches", None)  # HLL + KLL sketches — approximate by design
 def ax1_approx_sketches(spark, sf_dir):
     # the 10^12-row swaps in one frame: approx_count_distinct (HLL) for cd1
