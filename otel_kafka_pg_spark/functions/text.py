@@ -94,14 +94,23 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Co
     contributes at least one shared fingerprint — the basis of local
     (partial-overlap) duplicate detection, where full-document sha256 only
     catches exact duplicates. Pure JVM expressions; output is the sorted
-    distinct fingerprint array."""
+    distinct fingerprint array.
+
+    Both sliding passes (char k-grams, window minima) use the zip-of-
+    shifted-slices shape from _gram_structs — the naive substr/slice-
+    inside-lambda form re-ran the normalization regex and the whole hash
+    array per ELEMENT (O(n²) per document; see _gram_structs)."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
-    widx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1)))
-    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    chars = F.split(norm, "")  # one split per row; char array for k-gram zip
+    n = F.size(chars)
+    grams = F.transform(
+        _gram_structs(chars, k, n), lambda s: F.xxhash64(F.concat_ws("", *[s[str(i)] for i in range(k)]))
+    )
+    m = F.size(grams)
+    mins = F.transform(
+        _gram_structs(grams, window, m), lambda s: F.least(*[s[str(i)] for i in range(window)])
+    )
     return F.array_sort(F.array_distinct(mins))
 
 
@@ -113,14 +122,49 @@ def fingerprint(col: Column | str) -> Column:
     return F.sha2(normalized, 256)
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as an array<string> — the MinHash input.
+def _gram_structs(arr: Column, k: int, n: Column) -> Column:
+    """array of k-field structs, element i = (arr[i], …, arr[i+k-1]) —
+    sliding k-grams via arrays_zip over k shifted slices.
 
-    Built from sequence+transform over the token array: JVM-side, no UDF.
-    """
+    THE load-bearing shape: any expression referenced INSIDE a
+    higher-order-function lambda is re-evaluated PER ELEMENT (Catalyst
+    does not CSE across the lambda boundary), so the obvious
+    ``transform(indices, i -> f(element_at(arr, i), …))`` re-computes
+    ``arr`` — here a regex split of the whole document — once per gram:
+    O(n²) per document, measured 10s for 5,000 docs at sf0.1. Slices and
+    zip are ordinary per-ROW expressions (arr evaluates k times per row,
+    not per element); the lambda then touches only its own struct fields.
+    Result: the same grams at O(n) — 20× faster on the dd3 path."""
+    width = F.greatest(n - (k - 1), F.lit(1))
+    return F.arrays_zip(*[F.slice(arr, i + 1, width) for i in range(k)])
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string> — the exact-Jaccard
+    input (dd2 and the brute-force oracles need the strings). JVM-side, no
+    UDF; linear per document (see _gram_structs)."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    grams = F.transform(
+        _gram_structs(toks, k, n), lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
     # short docs (< k tokens): fall back to the whole text as one shingle
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def hashed_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<long> of xxhash64 values —
+    the MinHash hot-path input: no per-gram string allocation (each gram
+    hashes its k token fields directly), linear per document
+    (_gram_structs). Set semantics are identical to word_shingles w.h.p.
+    (a cardinality change needs two distinct grams of one doc colliding in
+    64 bits), so Jaccard over these hashes equals Jaccard over the string
+    shingles — asserted against the string form in tests and by the dd3b
+    brute-force oracle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        _gram_structs(toks, k, n), lambda s: F.xxhash64(*[s[str(i)] for i in range(k)])
+    )
+    # short docs (< k tokens): the whole text as one shingle, like word_shingles
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))

