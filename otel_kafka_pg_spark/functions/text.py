@@ -86,6 +86,29 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing twin whose k-gram hash is the first 15 hex chars of
+    md5(gram) as a 60-bit long — bit-for-bit reproducible OUTSIDE Spark
+    (DuckDB: ('0x' || substr(md5(substr(norm,i,k)),1,15))::BIGINT), giving
+    the whole winnowing pipeline (normalize → char k-grams → hash →
+    sliding-window minima → distinct) an exact cross-engine oracle. The
+    xxhash64 variant (winnowing_fingerprints) is the production path."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    chars = F.split(norm, "")
+    n = F.size(chars)
+    gram_str = lambda s: F.concat_ws("", *[s[str(i)] for i in range(k)])  # noqa: E731
+    grams = F.transform(
+        _gram_structs(chars, k, n),
+        lambda s: F.conv(F.substring(F.md5(gram_str(s)), 1, 15), 16, 10).cast("long"),
+    )
+    m = F.size(grams)
+    mins = F.transform(
+        _gram_structs(grams, window, m), lambda s: F.least(*[s[str(i)] for i in range(window)])
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
     character k-grams (the rolling-hash analog — xxhash64 per position),

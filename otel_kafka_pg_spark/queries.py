@@ -741,6 +741,59 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
+@register_extra(
+    "px1_pii_redaction",
+    # training-corpus PII scrub: emails → [EMAIL], long digit runs → [NUM];
+    # identical regex semantics in java.util.regex and RE2 for this subset
+    "SELECT doc_id, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+    "+ len(regexp_extract_all(text, '[0-9]{4,}')) AS n_redactions, "
+    "sha256(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+    "'[0-9]{4,}', '[NUM]', 'g')) AS redacted_sha FROM documents",
+)
+def px1_pii_redaction(spark, sf_dir):
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    nums = r"[0-9]{4,}"
+    t = F.col("text")
+    redacted = F.regexp_replace(F.regexp_replace(t, email, "[EMAIL]"), nums, "[NUM]")
+    n = F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))) + F.size(
+        F.regexp_extract_all(t, F.lit(nums), F.lit(0))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", n.alias("n_redactions"), F.sha2(redacted, 256).alias("redacted_sha")
+    )
+
+
+@register_extra(
+    "pk1_sequence_packing",
+    # training-example packing: greedy contiguous fill of token budgets —
+    # bin_id = floor(running-token-count-before-this-doc / capacity), the
+    # order-preserving streaming packer (a bin may overrun by one doc; the
+    # 100 TB layout partitions by shard and packs per shard so the window
+    # never needs a global sort — here doc_id order stands in for shard
+    # order)
+    "WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok "
+    "FROM documents), "
+    "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
+    "FROM t) "
+    "SELECT CAST(floor(prev / 512) AS BIGINT) AS bin_id, count(*) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1",
+)
+def pk1_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", tx.token_count("text").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.withColumn("bin_id", F.floor(prev / 512))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
 @register_extra("dd4x_simhash_fast", None)  # xxhash64 not reproducible in DuckDB
 def dd4x_simhash_fast(spark, sf_dir):
     # the PRODUCTION SimHash path: xxhash64 token hashes (codegen, no md5
@@ -1086,8 +1139,32 @@ def t5_bpe_token_count(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.bpe_token_count("text").alias("n_bpe"))
 
 
-@register("t6_winnowing_fingerprints", None)  # xxhash64 not in DuckDB → rows-only
+@register(
+    "t6_winnowing_fingerprints",
+    # exact cross-engine oracle for the full winnowing pipeline via the
+    # md5-portable hash twin (normalize → char 5-grams → 60-bit md5 hash →
+    # window-4 minima → distinct): count + min/max fingerprint per doc
+    "WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s "
+    "FROM documents), "
+    "h AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(s) - 4, 1)), "
+    "i -> ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT) AS hs FROM norm), "
+    "m AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)), "
+    "i -> list_min(hs[i:i+3]))) AS fps FROM h) "
+    "SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp, "
+    "list_max(fps) AS max_fp FROM m",
+)
 def t6_winnowing_fingerprints(spark, sf_dir):
+    fps = tx.winnowing_fingerprints_md5("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+@register_extra("t6x_winnowing_fast", None)  # xxhash64 production path → rows-only
+def t6x_winnowing_fast(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(tx.winnowing_fingerprints("text")).alias("n_fingerprints")
     )
