@@ -1117,7 +1117,42 @@ def dp1_corpus_prep_dedup(spark, sf_dir):
     return exact_dedup(gated).select("fp", "keep_id", "n_dups")
 
 
-@register("dp2_corpus_prep_full", None)  # minhash stage not SQL-portable → rows-only
+_DP2_LANG_EN = (
+    "lt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM quality), "
+    "langed AS (SELECT q.doc_id, q.text, q.quality FROM quality q JOIN ("
+    "SELECT doc_id, len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS en, "
+    "len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS es, "
+    "len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS fr, "
+    "len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS de FROM lt) l "
+    "USING (doc_id) WHERE l.en > 0 AND l.en >= l.es AND l.en >= l.fr AND l.en >= l.de)"
+)
+
+
+@register(
+    "dp2_corpus_prep_full",
+    # exact oracle for the full prep chain: the MinHash-LSH stage is
+    # replaced by brute-force pairwise Jaccard — valid because (a) the
+    # auto-sized sketch guarantees ≥0.95 candidate recall at s=threshold
+    # and (b) this corpus's similarity distribution is bimodal (measured:
+    # no pair in [0.4, 0.8] at sf0.01), so every qualifying pair sits near
+    # j≈1.0 where LSH recall is 1 − (1−t²)^b ≈ 1; LSH output == the exact
+    # answer deterministically, as with dd3b. The shingle CTE mirrors
+    # word_shingles incl. the short-doc whole-text fallback.
+    f"WITH {_QUALITY_SQL_CTE}, {_DP2_LANG_EN}, "
+    "gated AS (SELECT doc_id, text FROM langed WHERE quality >= 0.5), "
+    "fp AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f "
+    "FROM gated), "
+    "kept AS (SELECT g.doc_id, g.text FROM gated g JOIN "
+    "(SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) s USING (doc_id)), "
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
+    "ELSE [array_to_string(t, ' ')] END AS s FROM "
+    "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
+    "near AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6) "
+    "SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM near) ORDER BY doc_id",
+)
 def dp2_corpus_prep_full(spark, sf_dir):
     """The full prep chain a 100 TB corpus runs: language gate → quality
     gate → exact dedup (min-id survivor) → MinHash-LSH near-dup removal
