@@ -11,9 +11,12 @@ The merge precedence is ASYMMETRIC between signal types:
 
 We keep attrs as ``map<string,string>`` through the plan (JVM-side) and
 render one canonical sorted-key JSON string only at the sink boundary so
-value hashes are ordering-stable. ``map_concat`` with
-``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session.py) gives
-last-write-wins — the later argument wins, which encodes the precedence.
+value hashes are ordering-stable. The precedence merge is expressed at the
+EXPRESSION level (``map_filter`` of the losing side's colliding keys, then
+``map_concat``) so it is correct under ANY ``spark.sql.mapKeyDedupPolicy``
+— including the default EXCEPTION policy of a caller-provided vanilla
+session. session.py still sets LAST_WIN as belt-and-braces, but no code
+path depends on it.
 
 """
 
@@ -52,11 +55,19 @@ def resource_attrs_map(col: str = "resource_attrs") -> Column:
 
 
 def merge_attrs(record: Column, resource: Column, resource_wins: bool) -> Column:
-    """Precedence merge. resource_wins=True → trace flavor (P7);
-    False → log flavor (P8). LAST_WIN dedup: later argument wins."""
-    if resource_wins:
-        return F.map_concat(record, resource)
-    return F.map_concat(resource, record)
+    """Precedence merge. resource_wins=True → trace flavor (P7,
+    processor.go:116-119); False → log flavor (P8, processor.go:213-218).
+
+    Session-conf-independent: the losing side is filtered down to keys the
+    winning side does NOT carry, so ``map_concat`` never sees a duplicate
+    key and the result is identical under EXCEPTION or LAST_WIN dedup
+    policy. (Round-2 driver runs crashed with DUPLICATED_MAP_KEY because
+    the old form relied on session.py's LAST_WIN conf, which a
+    caller-provided vanilla session doesn't set.)
+    """
+    low, high = (record, resource) if resource_wins else (resource, record)
+    losing = F.map_filter(low, lambda k, _v: ~F.array_contains(F.map_keys(high), k))
+    return F.map_concat(losing, high)
 
 
 def canonical_json(m: Column) -> Column:
