@@ -133,13 +133,31 @@ def frame_sample(df: DataFrame, frame_bytes: int = 64, every_k: int = 2) -> Data
     return df.mapInPandas(run, FRAMES_SCHEMA)
 
 
+def synth_payload(i: int, n_bytes: int) -> bytes:
+    """Deterministic payload for media ``i``: the ASCII bytes of a sha256
+    hex chain over ``f"{i}:{j}"`` truncated to ``n_bytes``. Engine-portable
+    by construction — any SQL engine with sha256(VARCHAR) re-derives the
+    exact bytes (DuckDB: string_agg(sha256(media_id || ':' || j)) sliced to
+    n_bytes), which is what makes the mm1/mm2 driver oracles EXACT instead
+    of rows-only. The payload is still an opaque ``binary`` column to every
+    operator; nothing downstream assumes ASCII."""
+    chunks: list[str] = []
+    total = 0
+    j = 0
+    while total < n_bytes:
+        chunks.append(hashlib.sha256(f"{i}:{j}".encode()).hexdigest())
+        total += 64
+        j += 1
+    return "".join(chunks)[:n_bytes].encode("ascii")
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
-    rng = np.random.RandomState(seed)
+    """Deterministic fake media table for plumbing tests (seed kept for
+    signature stability; payloads are content-addressed, not RNG-drawn)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(128 + (i % 5) * 64)
+        payload = synth_payload(i, 128 + (i % 5) * 64)
         rows.append((i, kind, bytearray(payload), ("application/octet-stream", 64, 64, 1000.0)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -143,7 +143,14 @@ def probe_buckets(query: list[float], bits: int, seed: int, n_probe: int) -> lis
     hyperplane ascending — the standard multi-probe LSH heuristic (a
     hyperplane the query nearly touches is the one most likely to have cut
     it off from its neighbors). Deterministic: seeded hyperplanes identical
-    on every executor and on the driver."""
+    on every executor and on the driver.
+
+    ``n_probe >= 2**bits`` returns EVERY bucket: the candidate set is then
+    the whole table and the ANN result equals brute force exactly — the
+    verification configuration (the dd3b/dd4 "exact oracle by parameter
+    choice" pattern), still exercising the bucketize/probe machinery."""
+    if n_probe >= (1 << bits):
+        return list(range(1 << bits))
     planes = np.random.RandomState(seed).randn(len(query), bits)
     proj = np.asarray(query) @ planes
     qbucket = int((proj > 0) @ (1 << np.arange(bits)))

@@ -1210,34 +1210,60 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row["embedding"]]
 
 
-@register(
-    "e1_cosine_topk",
+# Brute-force cosine top-10 — shared by e1/e1b/e2/e3: the ANN operators run
+# in their full-probe verification configuration (probe every bucket/cell),
+# where the candidate set is provably the whole table, so their output
+# EQUALS brute force and this oracle is exact for the entire bucketize →
+# probe → rank machinery (the dd3b/dd4 exact-oracle-by-parameter pattern).
+_E1_ORACLE = (
     "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0) "
     "SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
-    "(SELECT qv FROM q)), 4) AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10",
+    "(SELECT qv FROM q)), 4) AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
 )
+
+
+@register("e1_cosine_topk", _E1_ORACLE)
 def e1_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
-@register_extra(
-    "e1b_cosine_topk_pandas",
-    # same oracle as e1: the Arrow/BLAS twin must produce identical results
-    "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0) "
-    "SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
-    "(SELECT qv FROM q)), 4) AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10",
-)
+@register_extra("e1b_cosine_topk_pandas", _E1_ORACLE)
 def e1b_cosine_topk_pandas(spark, sf_dir):
+    # same oracle as e1: the Arrow/BLAS twin must produce identical results
     return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
-@register("e2_lsh_ann_topk", None)  # seeded-hyperplane LSH not portable to SQL → rows-only
+@register("e2_lsh_ann_topk", _E1_ORACLE)
 def e2_lsh_ann_topk(spark, sf_dir):
+    # full-probe verification config: n_probe = 2^bits probes every bucket →
+    # candidate set is the whole table → output == brute force (e1's oracle,
+    # exact), while the seeded-hyperplane bucketize + probe-filter machinery
+    # still executes. The production reduced-probe config is e2x (extras),
+    # recall-asserted in tests/test_dataops.py.
+    return lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, bits=4, n_probe=16
+    )
+
+
+@register_extra("e2x_lsh_ann_reduced_probe", None)  # approximate by design → rows-only
+def e2x_lsh_ann_reduced_probe(spark, sf_dir):
+    # the 100 TB config: prune the scan to ~n_probe/2^bits of the table
     return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, bits=4)
 
 
-@register("e3_ivf_ann_topk", None)  # seeded k-means quantizer → rows-only
+@register("e3_ivf_ann_topk", _E1_ORACLE)
 def e3_ivf_ann_topk(spark, sf_dir):
+    # full-probe verification config: n_probe = n_centroids scans every IVF
+    # cell → output == brute force exactly, with the seeded k-means fit +
+    # Arrow-batched cell assignment + probe-filter still exercised. The
+    # pruned production config is e3x (extras).
+    from .operators.simsearch import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=8)
+
+
+@register_extra("e3x_ivf_ann_reduced_probe", None)  # approximate by design → rows-only
+def e3x_ivf_ann_reduced_probe(spark, sf_dir):
     from .operators.simsearch import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=2)
@@ -1409,22 +1435,77 @@ def f10_attr_predicate(spark, sf_dir):
     )
 
 
-@register("mm1_media_features", None)  # binary decode plumbing — no SQL analog
+# mm oracles: synth_media payloads are sha256 hex chains (ASCII), so DuckDB
+# re-derives payload → feature digest → per-frame bytes exactly (see
+# operators/multimodal.py:synth_payload). The feature checksum recovers the
+# digest BYTES from the float features (round(x*255) is exact for
+# float32(b/255)), making the whole mapInPandas extraction integer-oracled.
+_MM_CHUNKS = (
+    "chunks AS (SELECT m.media_id, m.kind, m.n_bytes, "
+    "string_agg(sha256(m.media_id || ':' || g.j), '' ORDER BY g.j) AS hexcat "
+    "FROM m, generate_series(0, 6) g(j) WHERE g.j * 64 < m.n_bytes "
+    "GROUP BY m.media_id, m.kind, m.n_bytes)"
+)
+_MM1_FEAT_SUM = " + ".join(f"('0x' || substr(hx, {2 * j + 1}, 2))::INT" for j in range(16))
+
+
+@register(
+    "mm1_media_features",
+    "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+    "['image','audio','video'][(i % 3) + 1] AS kind, 128 + (i % 5) * 64 AS n_bytes "
+    "FROM generate_series(0, 63) t(i)), "
+    f"{_MM_CHUNKS}, "
+    "dig AS (SELECT media_id, kind, n_bytes, sha256(substr(hexcat, 1, n_bytes)) AS hx FROM chunks) "
+    "SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, "
+    f"CAST({_MM1_FEAT_SUM} AS BIGINT) AS feat_sum FROM dig",
+)
 def mm1_media_features(spark, sf_dir):
     # multimodal plumbing: opaque binary payloads → mapInPandas feature
     # extraction (deterministic sha256-derived stand-in for the stubbed
-    # codec); payload column dropped at the stage boundary
+    # codec); payload column dropped at the stage boundary. Driver output is
+    # scalar-only (the float array stays in mm1x) — feat_sum recovers the
+    # 16 digest bytes from the float features exactly.
+    from .operators.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(spark, n=64))
+    byte_back = F.transform("features", lambda x: F.round(x.cast("double") * 255, 0).cast("bigint"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.aggregate(byte_back, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("feat_sum"),
+    )
+
+
+@register_extra("mm1x_media_feature_vectors", None)  # raw array<float> output — rows-only
+def mm1x_media_feature_vectors(spark, sf_dir):
     from .operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, n=64)).select("media_id", "kind", "n_bytes", "features")
 
 
-@register("mm2_frame_sample", None)  # binary frame plumbing — no SQL analog
+@register(
+    "mm2_frame_sample",
+    "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, 'video' AS kind, "
+    "128 + (i % 5) * 64 AS n_bytes FROM generate_series(0, 29) t(i) WHERE i % 3 = 2), "
+    f"{_MM_CHUNKS}, "
+    "frames AS (SELECT media_id, CAST(f.j AS INT) AS frame_idx, "
+    "substr(hexcat, f.j * 64 + 1, 64) AS frame FROM chunks, generate_series(0, 6) f(j) "
+    "WHERE f.j * 64 < n_bytes AND f.j % 2 = 0) "
+    "SELECT media_id, frame_idx, CAST(len(frame) AS INT) AS frame_len, "
+    "sha256(frame) AS frame_sha FROM frames",
+)
 def mm2_frame_sample(spark, sf_dir):
+    # every-2nd 64-byte frame of each video payload; the oracle re-derives
+    # each frame's bytes from the payload chain and sha256-matches them —
+    # exact per-frame content equality, not just counts
     from .operators.multimodal import frame_sample, synth_media
 
     return frame_sample(synth_media(spark, n=30), frame_bytes=64, every_k=2).select(
-        "media_id", "frame_idx", F.length("frame").alias("frame_len")
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.sha2("frame", 256).alias("frame_sha"),
     )
 
 
