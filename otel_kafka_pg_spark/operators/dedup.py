@@ -56,7 +56,11 @@ def _auto_config(threshold: float, target_recall: float = 0.95) -> tuple[int, in
     tuning failure: t=0.3 → 32 bands (64 hashes), t=0.5 → 11, t=0.7 → 5."""
     import math
 
-    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - threshold**2))
+    # clamp into (0,1) exclusive: t>=1.0 would log(0), t<=0 would divide by
+    # log(1)=0 — edge thresholds degrade to the nearest solvable curve
+    # instead of crashing (ADVICE r2)
+    t = min(max(threshold, 0.05), 0.95)
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - t**2))
     b = max(4, min(b, 48))
     return 2 * b, b
 

@@ -66,8 +66,25 @@ def merge_upsert(
     through — exactly ``WHEN MATCHED THEN UPDATE SET ... WHEN NOT MATCHED
     THEN INSERT *`` (the reference's ON CONFLICT DO UPDATE,
     log/repository/repository.go:71-78). ``updates`` must be unique per
-    key (MERGE requirement; enforced)."""
-    upd = updates.select(key, *[F.col(c).alias(f"_u_{c}") for c in value_cols])
+    key — enforced lazily: a per-key window count feeds ``assert_true``
+    inside the filter, so a duplicate update key raises at execution time
+    exactly like a real MERGE INTO's cardinality check, instead of silently
+    fanning out base rows through the join. The window shuffles on the same
+    key as the merge join, so the guard adds no extra exchange shape."""
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
+    upd = (
+        updates.select(key, *[F.col(c).alias(f"_u_{c}") for c in value_cols])
+        .withColumn("_cnt", cnt)
+        .filter(
+            F.assert_true(
+                F.col("_cnt") == 1,
+                F.concat(F.lit("MERGE INTO: duplicate update rows for key "), F.col(key).cast("string")),
+            ).isNull()
+        )
+        .drop("_cnt")
+    )
     joined = base.join(upd, key, "full_outer")
     return joined.select(
         key,

@@ -71,9 +71,14 @@ def register_extra(name: str, oracle: str | None):
 
 
 # The exact order queries()/oracle_sql() emit driver entries in: the driver
-# checks the first 50, so the flagship pipeline, streaming, training-data
-# ops, and everything NOT driver-verified in round 1 come first; the round-1
-# green filter/agg/join rows close the list.
+# checks the first 50. Round-3 rotation: entries fixed or changed this round
+# (st1/f10 session-independence, e2/e3 full-probe oracles, mm1/mm2 exact
+# oracles, u2 merge guard, pk1 per-shard) and entries never driver-checked
+# before (c3, px1, dd4b, t1–t5 standalone, e1b) lead; entries already
+# driver-green in BOTH r1 and r2 rotated to EXTRA_REGISTRY (still verified
+# by the local DuckDB replica, tests/test_oracle_differential.py) to free
+# their slots — the goal is a driver-green row for EVERY registry entry
+# across r1∪r2∪r3.
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -95,36 +100,36 @@ DRIVER_ORDER = [
     "e3_ivf_ann_topk",
     "mm1_media_features",
     "mm2_frame_sample",
+    "c3_cached_result_reuse",
+    "pk1_sequence_packing",
+    "px1_pii_redaction",
+    "dd4b_simhash_md5_values",
+    "t1_token_stats",
+    "t2_lang_id",
+    "t3_fingerprint",
+    "t4_quality_score",
+    "t5_bpe_token_count",
+    "e1b_cosine_topk_pandas",
     "dd1_exact_dedup",
     "dd3b_minhash_lsh_highsim",
     "f1_time_range",
-    "f2_in_list",
-    "f4_non_null_nonempty",
-    "f5_root_span_parenthesized",
     "f6_ilike_substring",
     "a1_service_counts",
     "a2_severity_rank_order",
     "a4_trace_groups",
     "a6_service_stats",
     "a7_service_metrics_percentiles",
-    "a8_cross_service_rollup",
-    "a9_page_summary",
     "tpch_q1",
     "c1_rollup",
     "j1_left_join_group_count",
-    "j2_two_key_left_join",
     "j3_broadcast_enrich",
     "o2_dynamic_sort_whitelist",
-    "o3_limit_offset",
     "aj1_asof_join",
     "s1_except_all",
-    "s2_union_distinct",
     "r1_request_lifecycle_page",
     "r2_request_lifecycle_summary",
     "q1_traceid_substring_quirk",
-    "q2_ilike_star_skip_quirk",
     "w1_latest_per_user",
-    "w3_sessionization",
 ]
 
 
@@ -150,7 +155,7 @@ def f1_time_range(spark, sf_dir):
     return build_event_filter(_t(spark, sf_dir, "events"), flt).select(*EV_COLS)
 
 
-@register(
+@register_extra(
     "f2_in_list",
     "SELECT event_id, event_type, value FROM events WHERE event_type IN ('click','view')",
 )
@@ -168,7 +173,7 @@ def f3_equality(spark, sf_dir):
     return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "event_type", "value")
 
 
-@register(
+@register_extra(
     "f4_non_null_nonempty",
     "SELECT event_id, props FROM events WHERE props IS NOT NULL AND props != ''",
 )
@@ -177,7 +182,7 @@ def f4_non_null_nonempty(spark, sf_dir):
     return build_event_filter(_t(spark, sf_dir, "events"), flt).select("event_id", "props")
 
 
-@register(
+@register_extra(
     "f5_root_span_parenthesized",
     "SELECT event_id, event_type, value FROM events "
     "WHERE value > 45 AND (event_type = 'view' OR event_type IS NULL)",
@@ -316,7 +321,7 @@ def a7_service_metrics_percentiles(spark, sf_dir):
     return agg.service_metrics_percentiles(_t(spark, sf_dir, "lineitem"))
 
 
-@register(
+@register_extra(
     "a8_cross_service_rollup",
     "WITH per AS (SELECT l_returnflag, count(*) AS cnt, "
     "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS errors, "
@@ -329,7 +334,7 @@ def a8_cross_service_rollup(spark, sf_dir):
     return agg.cross_service_rollup(_t(spark, sf_dir, "lineitem"))
 
 
-@register(
+@register_extra(
     "a9_page_summary",
     "WITH page AS (SELECT * FROM events ORDER BY ts DESC, event_id ASC LIMIT 100) "
     "SELECT array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_on_page, "
@@ -400,6 +405,35 @@ def c1_rollup(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "c3_cached_result_reuse",
+    # the response-cache analog (reference middleware/cache.go:38-169):
+    # the oracle is the plain request SQL — the cached second serving must
+    # be value-identical to computing it fresh
+    "SELECT event_type, count(*) AS cnt FROM events "
+    "WHERE event_type IN ('click','view') AND value >= 5.0 GROUP BY event_type "
+    "ORDER BY cnt DESC, event_type LIMIT 20",
+)
+def c3_cached_result_reuse(spark, sf_dir):
+    # two identical requests through the keyed result cache: the first
+    # materializes + persists, the second is served from cached blocks
+    # (InMemoryTableScan, no new source scan — asserted in
+    # tests/test_cache.py). Returned frame is the second (cache-hit) one.
+    from .plans.cache import ResultCache
+
+    cache = ResultCache()
+    desc = {"types": ["click", "view"], "min_value": 5.0}
+
+    def build():
+        flt = EventFilter(types_in=desc["types"], min_value=desc["min_value"])
+        return agg.service_counts(build_event_filter(_t(spark, sf_dir, "events"), flt))
+
+    first, hit1 = cache.get_or_build("service_counts", desc, build)
+    second, hit2 = cache.get_or_build("service_counts", {"min_value": 5.0, "types": ["click", "view"]}, build)
+    assert not hit1 and hit2  # key canonicalization: param order must not matter
+    return second
+
+
 @register_extra(
     "c2_cube",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
@@ -423,7 +457,7 @@ def j1_left_join_group_count(spark, sf_dir):
     return agg.left_join_group_count(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
-@register(
+@register_extra(
     "j2_two_key_left_join",
     "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, o_orderstatus "
     "FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
@@ -466,7 +500,7 @@ def o2_dynamic_sort_whitelist(spark, sf_dir):
     return agg.page_events(_t(spark, sf_dir, "events"), "value", False, 100).select("event_id", "value")
 
 
-@register(
+@register_extra(
     "o3_limit_offset",
     "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 20 OFFSET 40",
 )
@@ -500,7 +534,7 @@ def aj1_asof_join(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "s2_union_distinct",
     "SELECT event_id FROM events WHERE value > 90 UNION SELECT event_id FROM events "
     "WHERE event_type = 'error'",
@@ -580,7 +614,7 @@ def q1_traceid_substring_quirk(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q2_ilike_star_skip_quirk",
     "SELECT count(*) AS total FROM documents",
 )
@@ -711,7 +745,7 @@ def w2_lag_delta(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "w3_sessionization",
     "WITH gaps AS (SELECT event_id, user_id, ts, CASE WHEN ts - lag(ts) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE OR lag(ts) OVER "
@@ -741,7 +775,7 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "px1_pii_redaction",
     # training-corpus PII scrub: emails → [EMAIL], long digit runs → [NUM];
     # identical regex semantics in java.util.regex and RE2 for this subset
@@ -765,31 +799,36 @@ def px1_pii_redaction(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "pk1_sequence_packing",
     # training-example packing: greedy contiguous fill of token budgets —
     # bin_id = floor(running-token-count-before-this-doc / capacity), the
-    # order-preserving streaming packer (a bin may overrun by one doc; the
-    # 100 TB layout partitions by shard and packs per shard so the window
-    # never needs a global sort — here doc_id order stands in for shard
-    # order)
-    "WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok "
-    "FROM documents), "
-    "c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER "
-    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
+    # order-preserving streaming packer (a bin may overrun by one doc).
+    # PER-SHARD: the window partitions by a shard key (floor(doc_id/128)
+    # here; the partition directory at 100 TB), so packing is an
+    # embarrassingly parallel per-shard sort, never a single-task global
+    # sort. Bins are numbered (shard, local bin).
+    "WITH t AS (SELECT doc_id, CAST(floor(doc_id / 128) AS BIGINT) AS shard, "
+    "len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents), "
+    "c AS (SELECT shard, doc_id, n_tok, coalesce(sum(n_tok) OVER "
+    "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
     "FROM t) "
-    "SELECT CAST(floor(prev / 512) AS BIGINT) AS bin_id, count(*) AS n_docs, "
-    "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1",
+    "SELECT shard, CAST(floor(prev / 512) AS BIGINT) AS bin_id, count(*) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1, 2",
 )
 def pk1_sequence_packing(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", tx.token_count("text").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 128).alias("shard"),
+        tx.token_count("text").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
         d.withColumn("bin_id", F.floor(prev / 512))
-        .groupBy("bin_id")
+        .groupBy("shard", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
     )
 
@@ -970,7 +1009,7 @@ def dd4_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8, variant="md5")
 
 
-@register_extra(
+@register(
     "dd4b_simhash_md5_values",
     "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
     "FROM documents), "
@@ -1040,7 +1079,7 @@ def t1_text_profile(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "t1_token_stats",
     "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
     "SELECT doc_id, len(t) AS n_tokens, "
@@ -1056,7 +1095,7 @@ def t1_token_stats(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "t2_lang_id",
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), "
     "hits AS (SELECT doc_id, "
@@ -1072,7 +1111,7 @@ def t2_lang_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.lang_id(F.lower(F.col("text"))).alias("lang_guess"))
 
 
-@register_extra(
+@register(
     "t3_fingerprint",
     "SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
 )
@@ -1094,7 +1133,7 @@ _QUALITY_SQL_CTE = (
 )
 
 
-@register_extra(
+@register(
     "t4_quality_score",
     f"WITH {_QUALITY_SQL_CTE} SELECT doc_id, quality FROM quality",
 )
@@ -1165,7 +1204,7 @@ def dp2_corpus_prep_full(spark, sf_dir):
     return kept.join(near, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
-@register_extra(
+@register(
     "t5_bpe_token_count",
     "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe "
     "FROM documents",
@@ -1227,7 +1266,7 @@ def e1_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
-@register_extra("e1b_cosine_topk_pandas", _E1_ORACLE)
+@register("e1b_cosine_topk_pandas", _E1_ORACLE)
 def e1b_cosine_topk_pandas(spark, sf_dir):
     # same oracle as e1: the Arrow/BLAS twin must produce identical results
     return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)

@@ -113,26 +113,41 @@ def run_stream(
         # identical semantics to the batch pipeline: the micro-batch frame
         # is a plain DataFrame, so the whole DAG (parse, ordering window,
         # broadcast enrich, route) applies unchanged
+        import hashlib
+
+        # content signature of the micro-batch's source offsets: for the
+        # file source this is the sorted input-file list. A replayed batch
+        # is skipped ONLY when both batch_id and signature match — if the
+        # checkpoint was wiped/relocated while sink markers remained,
+        # replayed batch ids restart at 0 with DIFFERENT inputs and must be
+        # processed, not silently dropped (ADVICE r2). Markers and
+        # checkpoint still belong together: wipe both to reprocess from
+        # scratch. Sources without file lineage (kafka) sign batch_id only.
+        files = sorted(batch_df.inputFiles())
+        input_sig = hashlib.sha256("\n".join(files or [f"batch:{batch_id}"]).encode()).hexdigest()
         routed = build_routed(spark, batch_df, lookup, parse_impl).persist()
         try:
             builders = {**SINK_BUILDERS, "sink_counts": sink_counts}
             for name, builder in builders.items():
                 # idempotent replay: if this (sink, batch) already committed
-                # (marker present), a checkpoint-replayed batch skips it —
-                # without this, a failure after writing some sinks would
-                # re-append to them on restart, duplicating rows. A crash
-                # between append-commit and marker-write re-appends that one
-                # sink; the marker is written immediately after the commit
-                # so the window is one filesystem call wide, and the
-                # deterministic row IDs let any downstream dedup close it.
+                # (marker present with the same input signature), a
+                # checkpoint-replayed batch skips it — without this, a
+                # failure after writing some sinks would re-append to them
+                # on restart, duplicating rows. A crash between append-commit
+                # and marker-write re-appends that one sink; the marker is
+                # written immediately after the commit so the window is one
+                # filesystem call wide, and the deterministic row IDs let
+                # any downstream dedup close it.
                 marker_dir = os.path.join(out_dir, name, "_batches")
                 marker = os.path.join(marker_dir, f"{batch_id}.done")
                 if os.path.exists(marker):
-                    continue
+                    with open(marker) as fh:
+                        if fh.read().strip() == input_sig:
+                            continue
                 builder(routed).write.mode("append").parquet(os.path.join(out_dir, name))
                 os.makedirs(marker_dir, exist_ok=True)
-                with open(marker, "w"):
-                    pass
+                with open(marker, "w") as fh:
+                    fh.write(input_sig)
         finally:
             routed.unpersist()
 

@@ -27,6 +27,19 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}  # update, insert, pass-through
 
 
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    # a real MERGE INTO errors when an update row matches more than once;
+    # the fallback must too, instead of silently fanning out base rows
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = spark.createDataFrame([(1, 10.0)], "id int, value double")
+    upd = spark.createDataFrame([(1, 99.0), (1, 77.0)], "id int, value double")
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        merge_upsert(spark, base, upd, "id", ["value"]).collect()
+
+
 def test_merge_upsert_iceberg_matches_fallback(spark, tmp_path):
     if not iceberg_available(spark):
         pytest.skip("iceberg-spark runtime jar not on the classpath in this container")

@@ -74,18 +74,46 @@ def test_stream_partial_failure_skips_committed_sink(spark, stream_input, tmp_pa
     """If a run died after committing (sink, batch) pairs, the restart must
     skip exactly those: pre-marking logs batch 0 as committed makes the
     drain skip that one append while every other sink stays complete."""
+    ref = str(tmp_path_factory.mktemp("stream_partial_ref"))
+    run_stream(spark, stream_input, ref, max_files_per_trigger=2)
+
+    # plant the REAL marker a dying run would have left (same input dir +
+    # trigger settings → batch 0 has the same files, hence the same
+    # signature as the reference run's marker)
     out = str(tmp_path_factory.mktemp("stream_partial"))
     marker_dir = os.path.join(out, "logs", "_batches")
     os.makedirs(marker_dir)
-    with open(os.path.join(marker_dir, "0.done"), "w"):
-        pass
+    with open(os.path.join(ref, "logs", "_batches", "0.done")) as fh:
+        sig = fh.read()
+    with open(os.path.join(marker_dir, "0.done"), "w") as fh:
+        fh.write(sig)
     run_stream(spark, stream_input, out, max_files_per_trigger=2)
 
-    ref = str(tmp_path_factory.mktemp("stream_partial_ref"))
-    run_stream(spark, stream_input, ref, max_files_per_trigger=2)
     n_logs, n_logs_ref = (spark.read.parquet(os.path.join(d, "logs")).count() for d in (out, ref))
     assert n_logs < n_logs_ref  # batch 0's logs append was (correctly) skipped
     for sink in ("traces", "metrics"):
+        assert (
+            spark.read.parquet(os.path.join(out, sink)).count()
+            == spark.read.parquet(os.path.join(ref, sink)).count()
+        ), sink
+
+
+def test_stream_stale_marker_with_different_inputs_is_reprocessed(spark, stream_input, tmp_path_factory):
+    """ADVICE r2: markers are signed with the batch's source-offset
+    signature (input-file list). A leftover marker whose batch_id collides
+    but whose inputs differ — e.g. checkpoint wiped/relocated while sink
+    markers survived, then NEW data arrives as batch 0 — must NOT cause a
+    silent skip."""
+    out = str(tmp_path_factory.mktemp("stream_stale"))
+    marker_dir = os.path.join(out, "logs", "_batches")
+    os.makedirs(marker_dir)
+    with open(os.path.join(marker_dir, "0.done"), "w") as fh:
+        fh.write("sig-of-some-other-run")  # same batch id, different inputs
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+
+    ref = str(tmp_path_factory.mktemp("stream_stale_ref"))
+    run_stream(spark, stream_input, ref, max_files_per_trigger=2)
+    for sink in ("traces", "logs", "metrics"):
         assert (
             spark.read.parquet(os.path.join(out, sink)).count()
             == spark.read.parquet(os.path.join(ref, sink)).count()
