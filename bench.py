@@ -69,9 +69,19 @@ HEADLINE = [
     "dd4_simhash_near_pairs",
     "dd4x_simhash_fast",
     "t1_text_profile",
+    "px1_pii_redaction",
+    "pk1_sequence_packing",
+    "aj1_asof_join",
+    "mm1_media_features",
     "e1_cosine_topk",
+    # e2/e3 are the driver-window FULL-PROBE verification configs since r3
+    # (candidate set = whole table, output == brute force); e2x/e3x are the
+    # pruned production configs — both benched so the probe-prune win and
+    # the verification tax are each visible
     "e2_lsh_ann_topk",
     "e3_ivf_ann_topk",
+    "e2x_lsh_ann_reduced_probe",
+    "e3x_ivf_ann_reduced_probe",
 ]
 
 

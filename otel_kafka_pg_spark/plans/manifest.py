@@ -84,25 +84,31 @@ def write_with_summary(df: DataFrame, dest: str) -> tuple[int, int, list[dict]]:
 
 def parquet_file_lineage(dest: str) -> list[dict]:
     """Per-output-file row counts from parquet footer metadata (no job).
-    Walks recursively so hive-partitioned sink layouts (partitionBy) keep
+    Recursive listing so hive-partitioned sink layouts (partitionBy) keep
     working; file order is the sorted relative path (deterministic).
 
-    Assumes a locally-mountable path (os.walk + pyarrow local reads) —
-    true for every sink this repo writes. An object-store deployment
-    (s3a://, Iceberg warehouse) swaps this for a Hadoop FileSystem listing
-    (spark._jvm.org.apache.hadoop.fs.FileSystem) + footer reads through
-    pyarrow.fs; the manifest schema is unchanged."""
+    Filesystem-abstracted via ``pyarrow.fs``: a plain path uses the local
+    filesystem, a URI (``s3://…``, ``hdfs://…``) resolves to the matching
+    pyarrow filesystem — footer reads go through the same handle, so an
+    object-store sink gets identical lineage without code changes (``s3a://``
+    spark URIs map to pyarrow's ``s3://``). The manifest schema is
+    identical either way."""
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
-    files = []
-    for root, _, names in os.walk(dest):
-        for name in names:
-            if name.endswith(".parquet"):
-                files.append(os.path.join(root, name))
-    files.sort(key=lambda p: os.path.relpath(p, dest))
+    if "://" in dest:
+        filesystem, root = pafs.FileSystem.from_uri(dest.replace("s3a://", "s3://", 1))
+    else:
+        filesystem, root = pafs.LocalFileSystem(), dest
+    infos = [
+        i
+        for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
+        if i.is_file and i.path.endswith(".parquet")
+    ]
+    infos.sort(key=lambda i: os.path.relpath(i.path, root))
     return [
-        {"partition_id": i, "rows": pq.ParquetFile(f).metadata.num_rows}
-        for i, f in enumerate(files)
+        {"partition_id": idx, "rows": pq.read_metadata(i.path, filesystem=filesystem).num_rows}
+        for idx, i in enumerate(infos)
     ]
 
 
