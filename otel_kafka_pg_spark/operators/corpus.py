@@ -1,0 +1,127 @@
+"""Corpus-level training-data operators: vocabulary build, benchmark
+contamination detection, stratified sampling.
+
+These extend the engine beyond the reference's query surface (the
+reference has no corpus tooling at all) with the operations a large-scale
+training-data pipeline runs between dedup and packing. Every operator is
+a pure DataFrame composition — one hash shuffle where unavoidable, no
+Python in the hot path — and each carries an exact DuckDB oracle in the
+registry (queries.py v1/ct1/sm1).
+
+Scale notes (10^12-row corpus):
+
+- ``vocab_topk``: explode → groupBy token is map-side partial-agg'd, so the
+  shuffle carries one row per (partition, distinct token), not per token
+  occurrence; the final top-k is a TakeOrdered, never a global sort.
+- ``benchmark_contamination``: the benchmark side (held-out eval sets) is
+  tiny by construction — its distinct gram set broadcasts, making the
+  overlap join a broadcast-hash semi-join: the corpus side is scanned once
+  and never shuffled by gram. Production hashes grams (xxhash64) to 8-byte
+  keys; the oracle variant joins on gram STRINGS so DuckDB reproduces it.
+- ``stratified_sample``: per-stratum deterministic ranking via a window
+  partitioned by the stratum key — embarrassingly parallel per stratum,
+  and the md5 rank key makes the sample reproducible across engines and
+  runs (no RNG, no seed distribution problem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _tokens(text_col: str):
+    """Lowercase whitespace tokens, empty-string-filtered."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Top-k token vocabulary with document frequency and total count —
+    the vocabulary-build pass of a tokenizer-training pipeline.
+
+    Deterministic total order (count DESC, token ASC) so the cut at k is
+    stable. Columns: token, n_occurrences, n_docs.
+    """
+    toks = df.select(F.col("doc_id"), F.explode(_tokens(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def word_gram_strings(text_col: str, n: int = 5):
+    """Word n-grams as strings via zip-of-shifted-slices (the O(len) form —
+    see functions/text.py:_gram_structs for why a transform-lambda re-split
+    would be O(len²)). Documents shorter than n words yield no grams."""
+    toks = _tokens(text_col)
+    shifted = [F.slice(toks, i + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``gram_n``-gram with a
+    held-out benchmark set — the decontamination pass run before training
+    so eval data cannot leak into the corpus (the standard n-gram-overlap
+    definition of contamination).
+
+    Returns (doc_id, n_overlap): one row per contaminated corpus doc with
+    the count of distinct benchmark grams it contains. The benchmark gram
+    set is broadcast (eval sets are tiny vs the corpus), so the corpus side
+    joins without a shuffle; the final count groups by doc_id only over the
+    matched rows (output-sized, not corpus-sized).
+    """
+    grams = word_gram_strings(text_col, gram_n)
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        corpus_grams.join(broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    per_stratum: int = 25,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: within each stratum, rank
+    rows by ``md5(id)`` (a uniform, engine-portable pseudo-random key —
+    no RNG state to distribute) and keep the first ``per_stratum``.
+
+    The language-balancing pass of corpus assembly: equal-size samples per
+    language regardless of the corpus's skew. Window is partitioned by the
+    stratum — parallel across strata, and each stratum's sort is bounded by
+    stratum size (strata far larger than executor memory would switch to
+    the threshold form: approx the per-stratum md5 quantile, then filter —
+    same determinism, no full per-stratum sort).
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_stratum)
+        .select(strata_col, id_col, "rn")
+    )

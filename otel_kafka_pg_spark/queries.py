@@ -1213,6 +1213,67 @@ def t5_bpe_token_count(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.bpe_token_count("text").alias("n_bpe"))
 
 
+# --- corpus-level ops (operators/corpus.py): vocabulary, contamination,
+# stratified sampling — round-3 extensions, each exactly oracled ---
+
+_VOCAB_TOKS = (
+    "toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+    "FROM documents)"
+)
+
+
+@register_extra(
+    "v1_vocab_topk",
+    f"WITH {_VOCAB_TOKS} "
+    "SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs "
+    "FROM toks WHERE token != '' GROUP BY token "
+    "ORDER BY n_occurrences DESC, token ASC LIMIT 100",
+)
+def v1_vocab_topk(spark, sf_dir):
+    from .operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@register_extra(
+    "ct1_benchmark_contamination",
+    # docs 0–19 stand in for a held-out benchmark; any other doc sharing a
+    # word 5-gram with them is contaminated. DuckDB re-derives the same
+    # distinct-gram overlap counts.
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS w FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w) - 4), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) "
+    "ELSE []::VARCHAR[] END AS grams FROM t), "
+    "bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20), "
+    "corp AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) "
+    "SELECT c.doc_id, count(*) AS n_overlap FROM corp c JOIN bench b USING (gram) "
+    "GROUP BY c.doc_id",
+)
+def ct1_benchmark_contamination(spark, sf_dir):
+    from .operators.corpus import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20)
+    )
+
+
+@register_extra(
+    "sm1_stratified_sample",
+    # deterministic per-language quota sample: md5 rank key is identical in
+    # both engines, so the sampled id set matches exactly
+    "WITH r AS (SELECT lang, doc_id, row_number() OVER "
+    "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT lang, doc_id, rn FROM r WHERE rn <= 25",
+)
+def sm1_stratified_sample(spark, sf_dir):
+    from .operators.corpus import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), per_stratum=25)
+
+
 @register(
     "t6_winnowing_fingerprints",
     # exact cross-engine oracle for the full winnowing pipeline via the

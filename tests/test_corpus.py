@@ -1,0 +1,83 @@
+"""Corpus-level operator tests: vocabulary build, benchmark contamination,
+stratified sampling — planted cases + plan guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel_kafka_pg_spark.operators.corpus import (
+    benchmark_contamination,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_vocab_counts_and_order(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "the cat and the dog", "en"),
+            (2, "THE  cat", "en"),  # case-folded, multi-space tolerant
+            (3, "zebra", "en"),
+        ],
+    )
+    rows = vocab_topk(d, k=10).collect()
+    got = {r["token"]: (r["n_occurrences"], r["n_docs"]) for r in rows}
+    assert got["the"] == (3, 2) and got["cat"] == (2, 2) and got["zebra"] == (1, 1)
+    # order: count desc, then token asc — deterministic cut
+    assert [r["token"] for r in rows][:2] == ["the", "cat"]
+
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta", "en")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the benchmark 5-gram "beta gamma delta epsilon zeta"
+            (100, "intro beta gamma delta epsilon zeta outro", "en"),
+            (101, "totally unrelated words here okay fine", "en"),
+            (102, "short doc", "en"),  # < 5 words → no grams, never flagged
+        ],
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in benchmark_contamination(corpus, bench).collect()}
+    assert 100 in got and got[100] >= 1
+    assert 101 not in got and 102 not in got
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # a corpus doc repeating the same benchmark gram counts it ONCE
+    bench = _docs(spark, [(0, "a b c d e", "en")])
+    corpus = _docs(spark, [(100, "a b c d e x a b c d e", "en")])
+    got = benchmark_contamination(corpus, bench).collect()
+    assert len(got) == 1 and got[0]["n_overlap"] == 1
+
+
+def test_contamination_join_is_broadcast(spark):
+    bench = _docs(spark, [(0, "a b c d e", "en")])
+    corpus = _docs(spark, [(100, "a b c d e f", "en")])
+    plan = benchmark_contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must never shuffle by gram
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_quota_and_determinism(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = stratified_sample(d, per_stratum=10)
+    per = {r["lang"]: r["cnt"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_langs = d.select("lang").distinct().count()
+    assert len(per) == n_langs and all(c == 10 for c in per.values())
+    # deterministic: same ids across independent evaluations
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(d, per_stratum=10).collect())
+    assert a == b
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    d = _docs(spark, [(i, f"doc {i}", "en" if i < 8 else "fr") for i in range(10)])
+    got = stratified_sample(d, per_stratum=5).groupBy("lang").count().collect()
+    per = {r["lang"]: r["count"] for r in got}
+    assert per == {"en": 5, "fr": 2}  # a stratum smaller than the quota keeps all rows
