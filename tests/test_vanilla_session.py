@@ -51,6 +51,25 @@ def test_sink_write_under_vanilla_session(vanilla, transcripts_path, tmp_path):
         assert vanilla.read.parquet(out).count() > 0
 
 
+def test_every_driver_entry_executes_under_vanilla_confs(vanilla, sf_dir):
+    """Crash sweep over the ENTIRE driver window with the grading driver's
+    default confs (EXCEPTION dedup policy, 200 shuffle partitions): r2 lost
+    three rows to a query that was only correct under session.py's tuning —
+    this pins that no registry entry depends on engine session confs to
+    RUN. (Value correctness vs DuckDB is test_oracle_differential's job.)
+    """
+    from otel_kafka_pg_spark.queries import DRIVER_ORDER, queries
+
+    prev_shuffle = vanilla.conf.get("spark.sql.shuffle.partitions")
+    vanilla.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        q = queries()
+        for name in DRIVER_ORDER:
+            assert q[name](vanilla, sf_dir).count() >= 0, name
+    finally:
+        vanilla.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 def test_merge_precedence_is_policy_independent(vanilla):
     # both merge directions produce identical results under EXCEPTION policy
     from otel_kafka_pg_spark.functions.attrs import merge_attrs
