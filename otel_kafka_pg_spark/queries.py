@@ -108,7 +108,7 @@ DRIVER_ORDER = [
     "t2_lang_id",
     "t3_fingerprint",
     "t4_quality_score",
-    "t5_bpe_token_count",
+    "st3_stateful_conversation_state",
     "e1b_cosine_topk_pandas",
     "dd1_exact_dedup",
     "dd3b_minhash_lsh_highsim",
@@ -1204,8 +1204,11 @@ def dp2_corpus_prep_full(spark, sf_dir):
     return kept.join(near, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "t5_bpe_token_count",
+    # the identical n_bpe expression is driver-covered inside t1's profile
+    # oracle, so the standalone entry yields its window slot to st3
+    # (stateful streaming) — see DRIVER_ORDER comment
     "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe "
     "FROM documents",
 )
@@ -1509,6 +1512,43 @@ def st2_stream_windowed_severity(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM st2_sev_counts")
+
+
+@register(
+    "st3_stateful_conversation_state",
+    # exact oracle for the applyInPandasWithState operator: the final
+    # emitted state per conversation must equal the batch GROUP BY over the
+    # same deterministic parquet, with trace detection re-derived by the
+    # independent SQL parse (same CTE as p1–p3)
+    f"WITH {_PIPE_SQL_CTE} SELECT conv_id, count(*) AS n_turns, "
+    "CAST(sum(CASE WHEN signal_type = 'trace' THEN 1 ELSE 0 END) AS BIGINT) AS n_traces, "
+    "min(ts) AS first_ts, max(ts) AS last_ts FROM routed GROUP BY conv_id",
+)
+def st3_stateful_conversation_state(spark, sf_dir):
+    # per-conversation running totals across micro-batches via
+    # applyInPandasWithState (update mode); the memory sink accumulates
+    # every update, final_conversation_state collapses to the last one.
+    import tempfile
+    import uuid
+
+    from .sources.synth import load_or_synth_transcripts
+    from .streaming.stateful import conversation_state_stream, final_conversation_state
+
+    src = tempfile.mkdtemp(prefix="st3_src_")
+    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    name = f"st3_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        conversation_state_stream(spark, src, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return final_conversation_state(spark.sql(f"SELECT * FROM {name}"))
 
 
 @register(

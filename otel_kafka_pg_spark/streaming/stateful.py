@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: per-conversation running state via
+``applyInPandasWithState``.
+
+The reference accumulates per-batch counts in a mutex-guarded in-memory
+buffer and loses all cross-batch state at flush (consumer.go:21-26 — the
+buffer is the only state, and it resets every flush). This operator is the
+capability the reference lacks: durable per-KEY state that survives
+micro-batch boundaries, checkpointed by Structured Streaming, with
+Arrow-batched (not per-row) state updates.
+
+Semantics: for every conversation, maintain (n_turns, n_traces, first_ts,
+last_ts) across ALL micro-batches seen so far and emit the updated totals
+each time the conversation receives rows (update output mode). The final
+emitted row per conversation equals the batch ``groupBy(conv_id).agg(...)``
+over the same input — order-insensitive totals, so arrival order across
+micro-batches cannot change the result; that equality is the test/oracle
+gate (tests/test_streaming.py, registry st3).
+
+At scale: state lives in the state store partitioned by conv_id (~10^9
+keys × ~40 bytes — tens of GB across executors, RocksDB state store
+territory, config not code); each micro-batch shuffles only its own rows
+by conv_id. The pandas function receives whole Arrow batches per key —
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CONV_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_traces", T.LongType(), False),
+        T.StructField("first_ts", T.TimestampNTZType(), True),
+        T.StructField("last_ts", T.TimestampNTZType(), True),
+    ]
+)
+
+# state tuple: scalar-only (timestamps as epoch micros)
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_traces", T.LongType(), False),
+        T.StructField("first_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+    ]
+)
+
+
+def _track(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    n_turns, n_traces, first_us, last_us = state.get if state.exists else (0, 0, None, None)
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_traces += int((pdf["signal_type"] == "trace").sum())
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        if len(us):
+            mn, mx = int(us.min()), int(us.max())
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+    state.update((n_turns, n_traces, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_turns": [n_turns],
+            "n_traces": [n_traces],
+            "first_ts": pd.to_datetime([first_us], unit="us"),
+            "last_ts": pd.to_datetime([last_us], unit="us"),
+        }
+    )
+
+
+def conversation_state_stream(
+    spark, input_dir: str, parse_impl: str = "native", max_files_per_trigger: int = 2
+) -> DataFrame:
+    """Streaming per-conversation running totals: readStream → parse →
+    signal classification → applyInPandasWithState keyed by conv_id.
+    Returns the streaming DataFrame (update output mode; caller starts it).
+    ``max_files_per_trigger`` is a SOURCE option — it chunks availableNow
+    drains into several micro-batches so state genuinely crosses batch
+    boundaries in tests."""
+    from ..functions.parse import parse_turns
+    from ..operators.route import classify_signal
+    from ..schemas import TRANSCRIPTS
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    classified = classify_signal(parse_turns(stream, impl=parse_impl)).select(
+        "conv_id", "ts", "signal_type"
+    )
+    return classified.groupBy("conv_id").applyInPandasWithState(
+        _track,
+        outputStructType=CONV_STATE_OUTPUT,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_conversation_state(updates: DataFrame) -> DataFrame:
+    """Collapse the update stream to each conversation's FINAL state: the
+    emission with the highest n_turns (monotone per key, ties impossible —
+    n_turns strictly grows with every update that fires)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -175,3 +175,48 @@ def test_stream_incremental_checkpoint_resume(spark, transcripts_path, tmp_path_
         assert s.exceptAll(b).count() == 0, sink
         assert b.exceptAll(s).count() == 0, sink
     assert spark.read.parquet(os.path.join(out, "logs")).count() > n_after_first
+
+
+def test_stateful_conversation_state_matches_batch(spark, stream_input, tmp_path_factory):
+    """applyInPandasWithState across MULTIPLE micro-batches: the final
+    per-conversation state must equal the batch groupBy over the same
+    input (totals are order-insensitive, so cross-batch accumulation is
+    exactly testable)."""
+    import uuid
+
+    from otel_kafka_pg_spark.functions.parse import parse_turns
+    from otel_kafka_pg_spark.operators.route import classify_signal
+    from otel_kafka_pg_spark.streaming.stateful import (
+        conversation_state_stream,
+        final_conversation_state,
+    )
+
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        conversation_state_stream(spark, stream_input, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql(f"SELECT * FROM {name}")
+    # 8 input files / 2 per trigger → conversations split across batches
+    # emit MULTIPLE updates; at least some state must have crossed batches
+    assert updates.count() > updates.select("conv_id").distinct().count()
+
+    got = final_conversation_state(updates)
+    batch = (
+        classify_signal(parse_turns(spark.read.parquet(stream_input), impl="native"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("signal_type") == "trace").cast("long")).alias("n_traces"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
