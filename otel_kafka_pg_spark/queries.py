@@ -775,6 +775,53 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
+@register_extra(
+    "rw1_rolling_hourly_rate",
+    # telemetry staple the reference lacks: per-event sliding-window rate —
+    # for each event, how many same-type events arrived in the preceding
+    # hour (inclusive). RANGE frame, not ROWS: peers by time value.
+    "SELECT event_id, event_type, CAST(count(*) OVER "
+    "(PARTITION BY event_type ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING "
+    "AND CURRENT ROW) AS BIGINT) AS n_last_hour FROM events",
+)
+def rw1_rolling_hourly_rate(spark, sf_dir):
+    # range window over epoch MICROseconds (cast-to-long seconds would
+    # truncate sub-second ts and shift the hour boundary vs interval
+    # arithmetic); [-3.6e9 µs, 0] is the inclusive INTERVAL 1 HOUR bound.
+    # Partitioned by type → parallel, bounded per-type sort.
+    from pyspark.sql import Window
+
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy(micros).rangeBetween(-3_600_000_000, 0)
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register_extra(
+    "pv1_pivot_user_type_counts",
+    # pivot: one row per user, one count column per event type (fixed
+    # column set — the only scale-sane pivot: explicit values, no
+    # distinct-scan to discover columns)
+    "SELECT user_id, "
+    "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+    "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, "
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+    "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error "
+    "FROM events GROUP BY user_id",
+)
+def pv1_pivot_user_type_counts(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)  # explicit values: single pass, no discovery scan
+        .count()
+        .na.fill(0, types)
+    )
+
+
 @register(
     "px1_pii_redaction",
     # training-corpus PII scrub: emails → [EMAIL], long digit runs → [NUM];
