@@ -186,3 +186,61 @@ def run_pipeline(
         if persist_routed:
             routed.unpersist()
     return manifest
+
+
+def run_pipeline_onepass(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    lookup: DataFrame | None = None,
+    parse_impl: str = "native",
+) -> dict:
+    """The 100 TB routing alternative documented in SCALE.md, implemented:
+    ONE write of the routed superset frame, hive-partitioned by
+    ``signal_type``, instead of three filtered sink writes over a persisted
+    (or thrice-recomputed) frame.
+
+    - input is scanned and transformed exactly once; total write volume is
+      identical to the three-sink form (the sinks partition the data), but
+      no persist memory is needed and no recompute happens;
+    - each sink is then a VIEW over its partition directory: the same
+      SINK_BUILDERS run against the read-back table, where Catalyst prunes
+      the ``signal_type=<x>`` partition (metadata-only — asserted in
+      tests) and column pruning keeps the per-sink projection narrow;
+    - per-sink rows/content-hash for the manifest come from those pruned
+      scans of the WRITTEN data — the summary describes what is durably on
+      disk, the property resume relies on.
+
+    Row-set parity with ``run_pipeline`` is asserted in
+    tests/test_pipeline_parity.py.
+    """
+    from .manifest import content_hash
+
+    routed_dest = os.path.join(out_dir, "routed")
+    t0 = time.monotonic()
+    routed = build_routed(spark, spark.read.parquet(input_path), lookup, parse_impl)
+    routed.write.mode("overwrite").partitionBy("signal_type").parquet(routed_dest)
+
+    back = spark.read.parquet(routed_dest)
+    manifest = {"input_fingerprint": input_fingerprint(input_path), "sinks": {}, "layout": "onepass"}
+    for sink_name, builder in SINK_BUILDERS.items():
+        rows, chash = content_hash(builder(back))
+        manifest["sinks"][sink_name] = {
+            "status": "complete",
+            "rows": rows,
+            "content_hash": chash,
+            "path": routed_dest,
+            "partition": f"signal_type={sink_name.rstrip('s')}",
+        }
+    counts_dest = os.path.join(out_dir, "sink_counts")
+    rows, chash, lineage = write_with_summary(sink_counts(back), counts_dest)
+    manifest["sinks"]["sink_counts"] = {
+        "status": "complete",
+        "rows": rows,
+        "content_hash": chash,
+        "path": counts_dest,
+        "lineage": lineage,
+    }
+    manifest["elapsed_sec"] = time.monotonic() - t0
+    save_manifest(out_dir, manifest)
+    return manifest

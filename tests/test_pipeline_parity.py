@@ -105,3 +105,27 @@ def test_no_persist_mode_identical_hashes(spark, transcripts_path, pipe_out, tmp
     manifest2 = run_pipeline(spark, transcripts_path, out, persist_routed=False)
     for sink in ("traces", "logs", "metrics", "sink_counts"):
         assert manifest1["sinks"][sink]["content_hash"] == manifest2["sinks"][sink]["content_hash"], sink
+
+
+def test_onepass_partitioned_routing_matches_multiwrite(spark, transcripts_path, pipe_out, tmp_path):
+    """SCALE.md's one-pass layout: a single partitionBy(signal_type) write
+    + per-sink pruned views must yield exactly the multi-write pipeline's
+    per-sink rows and content hashes, and reading one sink must prune to
+    its partition (not scan the other signal types)."""
+    import os
+
+    from otel_kafka_pg_spark.operators.route import SINK_BUILDERS
+    from otel_kafka_pg_spark.plans.pipeline import run_pipeline_onepass
+
+    out = str(tmp_path / "onepass")
+    manifest = run_pipeline_onepass(spark, transcripts_path, out)
+    _, multi = pipe_out  # the standard three-write run over the same input
+
+    for sink in ("traces", "logs", "metrics", "sink_counts"):
+        assert manifest["sinks"][sink]["rows"] == multi["sinks"][sink]["rows"], sink
+        assert manifest["sinks"][sink]["content_hash"] == multi["sinks"][sink]["content_hash"], sink
+
+    # partition pruning: the traces view must read only its own partition
+    back = spark.read.parquet(os.path.join(out, "routed"))
+    plan = SINK_BUILDERS["traces"](back)._jdf.queryExecution().executedPlan().toString()
+    assert "signal_type=trace" in plan.replace(" ", "") or "PartitionFilters" in plan
