@@ -213,8 +213,22 @@ def run_pipeline_onepass(
 
     Row-set parity with ``run_pipeline`` is asserted in
     tests/test_pipeline_parity.py.
+
+    Resume granularity is coarser than the multiwrite path by design: the
+    routed dataset is ONE write, so there is no per-sink partial resume —
+    a completed manifest for the same input fingerprint skips the whole
+    run; anything less than complete rewrites everything.
     """
+    from ..operators.route import SINK_SIGNAL
     from .manifest import content_hash
+
+    fp = input_fingerprint(input_path)
+    existing = load_manifest(out_dir)
+    if existing.get("input_fingerprint") == fp and existing.get("layout") == "onepass" and all(
+        existing["sinks"].get(s, {}).get("status") == "complete"
+        for s in (*SINK_BUILDERS, "sink_counts")
+    ):
+        return existing
 
     routed_dest = os.path.join(out_dir, "routed")
     t0 = time.monotonic()
@@ -222,7 +236,7 @@ def run_pipeline_onepass(
     routed.write.mode("overwrite").partitionBy("signal_type").parquet(routed_dest)
 
     back = spark.read.parquet(routed_dest)
-    manifest = {"input_fingerprint": input_fingerprint(input_path), "sinks": {}, "layout": "onepass"}
+    manifest = {"input_fingerprint": fp, "sinks": {}, "layout": "onepass"}
     for sink_name, builder in SINK_BUILDERS.items():
         rows, chash = content_hash(builder(back))
         manifest["sinks"][sink_name] = {
@@ -230,7 +244,7 @@ def run_pipeline_onepass(
             "rows": rows,
             "content_hash": chash,
             "path": routed_dest,
-            "partition": f"signal_type={sink_name.rstrip('s')}",
+            "partition": f"signal_type={SINK_SIGNAL[sink_name]}",
         }
     counts_dest = os.path.join(out_dir, "sink_counts")
     rows, chash, lineage = write_with_summary(sink_counts(back), counts_dest)

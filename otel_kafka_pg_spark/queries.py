@@ -405,6 +405,11 @@ def c1_rollup(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+from .plans.cache import ResultCache as _ResultCache
+
+_C3_CACHE = _ResultCache()
+
+
 @register(
     "c3_cached_result_reuse",
     # the response-cache analog (reference middleware/cache.go:38-169):
@@ -415,22 +420,26 @@ def c1_rollup(spark, sf_dir):
     "ORDER BY cnt DESC, event_type LIMIT 20",
 )
 def c3_cached_result_reuse(spark, sf_dir):
-    # two identical requests through the keyed result cache: the first
-    # materializes + persists, the second is served from cached blocks
-    # (InMemoryTableScan, no new source scan — asserted in
-    # tests/test_cache.py). Returned frame is the second (cache-hit) one.
-    from .plans.cache import ResultCache
-
-    cache = ResultCache()
-    desc = {"types": ["click", "view"], "min_value": 5.0}
+    # two identical requests through the keyed result cache: the first call
+    # in a session materializes + persists, later requests are served from
+    # cached blocks (InMemoryTableScan, no new source scan — asserted in
+    # tests/test_cache.py). The cache is MODULE-level (one long-lived
+    # service instance, like the reference's Redis), so repeated
+    # invocations of this entry reuse ONE persisted frame instead of
+    # accumulating orphaned InMemoryRelations per call.
+    # sf_dir is part of the request identity — a session serving two data
+    # roots must not cross-serve cached results
+    desc = {"types": ["click", "view"], "min_value": 5.0, "sf_dir": sf_dir}
 
     def build():
         flt = EventFilter(types_in=desc["types"], min_value=desc["min_value"])
         return agg.service_counts(build_event_filter(_t(spark, sf_dir, "events"), flt))
 
-    first, hit1 = cache.get_or_build("service_counts", desc, build)
-    second, hit2 = cache.get_or_build("service_counts", {"min_value": 5.0, "types": ["click", "view"]}, build)
-    assert not hit1 and hit2  # key canonicalization: param order must not matter
+    _C3_CACHE.get_or_build("service_counts", desc, build)
+    second, hit = _C3_CACHE.get_or_build(
+        "service_counts", {"min_value": 5.0, "sf_dir": sf_dir, "types": ["click", "view"]}, build
+    )
+    assert hit  # key canonicalization: param order must not matter
     return second
 
 

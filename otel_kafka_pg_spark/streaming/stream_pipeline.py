@@ -146,8 +146,13 @@ def run_stream(
                             continue
                 builder(routed).write.mode("append").parquet(os.path.join(out_dir, name))
                 os.makedirs(marker_dir, exist_ok=True)
-                with open(marker, "w") as fh:
+                # atomic marker write (tmp + replace): the signature is
+                # load-bearing for replay-skip, so a crash mid-write must
+                # never leave a truncated marker that re-triggers the append
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as fh:
                     fh.write(input_sig)
+                os.replace(tmp, marker)
         finally:
             routed.unpersist()
 
