@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): engine expressions vs independent
+pure-Python references on randomized inputs.
+
+The DuckDB differential gate checks fixed corpora; these properties attack
+the same operators with adversarial generated inputs (unicode, whitespace
+runs, empty strings, colliding keys) where hand-picked fixtures have blind
+spots. Spark jobs are expensive per example, so each property batches ALL
+of hypothesis's examples for a run into ONE DataFrame evaluation where
+possible and keeps max_examples small where not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from otel_kafka_pg_spark.functions.attrs import canonical_json, merge_attrs
+from otel_kafka_pg_spark.functions.text import winnowing_fingerprints_md5
+
+SET = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+# printable-ish text incl. whitespace runs and unicode, no surrogates
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=60,
+)
+keys = st.text(alphabet="abcdefgh_", min_size=1, max_size=6)
+small_maps = st.dictionaries(keys, st.text(alphabet="xyz01", max_size=4), max_size=5)
+
+
+def py_winnow_md5(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Independent reimplementation of winnowing_fingerprints_md5 with
+    JAVA semantics where they diverge from Python: SQL trim strips only
+    ASCII spaces, and Java regex \\s is [ \\t\\n\\x0b\\f\\r] (Python's \\s
+    additionally matches \\x1c-\\x1f and unicode spaces)."""
+    s = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
+    width = max(len(s) - (k - 1), 1)
+    grams = [
+        int(hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(width)
+    ]
+    wm = max(len(grams) - (window - 1), 1)
+    mins = [min(grams[i : i + window]) for i in range(wm)]
+    return sorted(set(mins))
+
+
+@SET
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_winnowing_matches_python_reference(spark, docs):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in df.select("doc_id", winnowing_fingerprints_md5("text").alias("fps")).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == py_winnow_md5(t), repr(t)
+
+
+@SET
+@given(small_maps, small_maps)
+def test_merge_attrs_matches_dict_union(spark, record, resource):
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")  # vanilla policy
+    try:
+
+        def lit_map(d):
+            if not d:
+                return F.create_map().cast("map<string,string>")
+            return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+        row = (
+            spark.range(1)
+            .select(
+                merge_attrs(lit_map(record), lit_map(resource), resource_wins=True).alias("t"),
+                merge_attrs(lit_map(record), lit_map(resource), resource_wins=False).alias("l"),
+            )
+            .collect()[0]
+        )
+        assert dict(row["t"]) == {**record, **resource}  # resource wins
+        assert dict(row["l"]) == {**resource, **record}  # record wins
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+@SET
+@given(st.dictionaries(texts.filter(lambda s: "\x00" not in s), texts.filter(lambda s: "\x00" not in s), max_size=6))
+def test_canonical_json_matches_sorted_dumps(spark, d):
+    m = (
+        F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+        if d
+        else F.create_map().cast("map<string,string>")
+    )
+    got = spark.range(1).select(canonical_json(m).alias("j")).collect()[0]["j"]
+    exp = json.dumps(dict(sorted(d.items())), separators=(",", ":"), ensure_ascii=False)
+    assert json.loads(got) == json.loads(exp)
+    # key order must be sorted in the rendered string too (hash stability)
+    assert list(json.loads(got).keys()) == sorted(d.keys())
+
+
+@SET
+@given(
+    st.dictionaries(st.integers(0, 20), st.floats(-1e6, 1e6), max_size=8),
+    st.dictionaries(st.integers(0, 20), st.floats(-1e6, 1e6), max_size=8),
+)
+def test_merge_upsert_matches_dict_merge(spark, base, updates):
+    from otel_kafka_pg_spark.plans.sinks import merge_upsert
+
+    b = spark.createDataFrame([(k, v) for k, v in base.items()] or [(None, None)], "id int, value double").filter(
+        F.col("id").isNotNull()
+    )
+    u = spark.createDataFrame([(k, v) for k, v in updates.items()] or [(None, None)], "id int, value double").filter(
+        F.col("id").isNotNull()
+    )
+    got = {r["id"]: r["value"] for r in merge_upsert(spark, b, u, "id", ["value"]).collect()}
+    assert got == {**base, **updates}
