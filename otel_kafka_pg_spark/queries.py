@@ -1026,6 +1026,35 @@ def dd3b_minhash_lsh_highsim(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
 
 
+@register_extra(
+    "cc1_dedup_clusters",
+    # duplicate-cluster resolution: near-dup PAIRS (the exact dd3b edge
+    # set) closed into connected COMPONENTS, every doc labeled with its
+    # cluster's smallest id. The oracle computes the same closure with a
+    # recursive CTE (reach = transitive reachability over symmetric
+    # edges; component rep = min reachable id) — an exact cross-engine
+    # oracle for an ITERATIVE distributed algorithm.
+    "WITH RECURSIVE "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ("
+    "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
+    "WHERE len(t) >= 3), "
+    "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.7), "
+    "edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs), "
+    "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "
+    "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node) "
+    "SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node",
+)
+def cc1_dedup_clusters(spark, sf_dir):
+    from .operators.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    # the dd3b configuration: LSH output == exact pairwise Jaccard ≥ 0.7
+    pairs = minhash_lsh_pairs(d, threshold=0.7, num_hashes=32, bands=16)
+    return duplicate_clusters(d, pairs)
+
+
 # DuckDB re-derivation of the md5-based 60-bit SimHash: per-token hash is
 # ('0x' || first 15 hex of md5)::BIGINT; 60 per-bit vote sums; bit set iff
 # votes > 0. Generated SQL (60 columns) — an exact cross-engine oracle for
