@@ -68,6 +68,7 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
     "dd4x_simhash_fast",
+    "cc1_dedup_clusters",
     "t1_text_profile",
     "px1_pii_redaction",
     "pk1_sequence_packing",

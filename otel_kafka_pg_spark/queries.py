@@ -1290,6 +1290,55 @@ def dp2_corpus_prep_full(spark, sf_dir):
 
 
 @register_extra(
+    "dp3_corpus_prep_clustered",
+    # dp2's chain with the PRODUCTION near-dup stage: cluster-resolved
+    # dedup (connected components over the near-pair edges, keep the
+    # smallest id per cluster) instead of greedy drop-id_b. On a chain
+    # a~b, b~c the greedy form keeps only a; so does the closure — but on
+    # a~b, c~d, b~c arriving as pairs the closure provably keeps exactly
+    # one of {a,b,c,d} no matter how the pair list chains. Oracle: the
+    # same gates + recursive-CTE reachability closure over the exact
+    # Jaccard edge set (valid for the LSH output by the dd3b/dp2
+    # bimodality argument).
+    "WITH RECURSIVE "
+    f"{_QUALITY_SQL_CTE}, {_DP2_LANG_EN}, "
+    "gated AS (SELECT doc_id, text FROM langed WHERE quality >= 0.5), "
+    "fp AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f "
+    "FROM gated), "
+    "kept AS (SELECT g.doc_id, g.text FROM gated g JOIN "
+    "(SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) s USING (doc_id)), "
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
+    "ELSE [array_to_string(t, ' ')] END AS s FROM "
+    "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
+    "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6), "
+    "edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs), "
+    "reach(node, r) AS (SELECT doc_id, doc_id FROM kept "
+    "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node) "
+    "SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(r) ORDER BY doc_id",
+)
+def dp3_corpus_prep_clustered(spark, sf_dir):
+    """dp2 with cluster-resolved near-dup removal: language gate → quality
+    gate → exact dedup → connected components over LSH near-pairs → keep
+    the smallest id per cluster."""
+    from .operators.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter((tx.lang_id(F.lower(F.col("text"))) == "en") & (tx.quality_score("text") >= 0.5))
+    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    kept = gated.join(survivors, "doc_id")
+    pairs = minhash_lsh_pairs(kept, threshold=0.6)
+    clusters = duplicate_clusters(kept, pairs)
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_rep"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register_extra(
     "t5_bpe_token_count",
     # the identical n_bpe expression is driver-covered inside t1's profile
     # oracle, so the standalone entry yields its window slot to st3
