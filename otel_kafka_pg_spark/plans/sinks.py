@@ -144,3 +144,42 @@ def retention_delete(spark: SparkSession, path: str, delete_cond) -> int:
 def retention_delete_iceberg(spark: SparkSession, table: str, where_sql: str) -> None:
     """Row-level DELETE FROM on an Iceberg table (jar required)."""
     spark.sql(f"DELETE FROM {table} WHERE {where_sql}")
+
+
+def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[int, int]:
+    """Compact a sink directory's small files into ~``target_mb`` files —
+    the maintenance pass every streaming/append sink needs: micro-batch
+    appends (stream_pipeline) and frequent small runs accumulate files far
+    below the efficient scan size, inflating task counts and metadata
+    (Iceberg's ``rewrite_data_files`` action; on raw parquet it is a
+    size-targeted rewrite + the same atomic directory swap as
+    retention_delete).
+
+    File count is derived from the CURRENT compressed size on disk (not a
+    row-count heuristic), content is preserved exactly (order-insensitive
+    content hash asserted in tests), and the swap is write-temp → rename,
+    so a crash never leaves a half-compacted sink. Returns
+    (files_before, files_after).
+    """
+    import pyarrow.parquet as _  # noqa: F401  (parity with lineage reader deps)
+
+    from .manifest import parquet_file_lineage
+
+    before = len(parquet_file_lineage(path))
+    size_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, len(parquet_file_lineage(path))

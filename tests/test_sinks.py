@@ -102,3 +102,29 @@ def test_kafka_source_wiring_config_parity(spark):
     else:  # jar present → a real streaming frame with the transcript schema
         assert df.isStreaming
         assert set(df.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_compact_sink_preserves_content_and_reduces_files(spark, tmp_path):
+    from otel_kafka_pg_spark.plans.manifest import content_hash
+    from otel_kafka_pg_spark.plans.sinks import compact_sink
+
+    sink = str(tmp_path / "frag")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # simulate micro-batch fragmentation: many small appends
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).repartition(4).write.mode("append").parquet(sink)
+    before_hash = content_hash(spark.read.parquet(sink))
+
+    n_before, n_after = compact_sink(spark, sink, target_mb=512)
+    assert n_before >= 24 and n_after < n_before and n_after >= 1
+    assert content_hash(spark.read.parquet(sink)) == before_hash  # rows exactly preserved
+
+
+def test_compact_sink_is_idempotent(spark, tmp_path):
+    from otel_kafka_pg_spark.plans.sinks import compact_sink
+
+    sink = str(tmp_path / "frag2")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(8).write.parquet(sink)
+    _, n1 = compact_sink(spark, sink)
+    _, n2 = compact_sink(spark, sink)
+    assert n1 == n2  # already-compacted sink stays put
