@@ -75,6 +75,22 @@ def lang_id(col: Column | str) -> Column:
     return best_lang
 
 
+def lang_id_cjk(col: Column | str, cjk_ratio: float = 0.3) -> Column:
+    """lang_id extended with a CJK script fallback: stopword lexicons are
+    useless for unsegmented Chinese (whitespace tokenization yields one
+    giant token, zero lexicon hits → 'und'), so when no lexicon fires AND
+    ≥ ``cjk_ratio`` of the non-space characters are in the CJK Unified
+    Ideographs block, classify 'zh'. Same char-class semantics in Java
+    regex ([\\u4E00-\\u9FFF]) and DuckDB's RE2 ([\\x{4E00}-\\x{9FFF}]),
+    so the entry stays exactly oracled."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = lang_id(col)
+    n_cjk = F.length(c) - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+    n_nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    is_cjk = (n_nonspace > 0) & (n_cjk / n_nonspace >= cjk_ratio)
+    return F.when((base == "und") & is_cjk, F.lit("zh")).otherwise(base)
+
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs — the
 # coarse split BPE vocabularies are trained over (GPT-2-style class split,
 # identical semantics in Spark's and DuckDB's regex engines)

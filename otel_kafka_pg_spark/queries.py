@@ -1196,6 +1196,57 @@ def t2_lang_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.lang_id(F.lower(F.col("text"))).alias("lang_guess"))
 
 
+@register_extra(
+    "t2b_lang_id_cjk",
+    # CJK-script fallback: unsegmented Chinese defeats whitespace-token
+    # stopword lexicons (one giant token, zero hits → 'und'); when no
+    # lexicon fires and ≥30% of non-space chars are CJK ideographs,
+    # classify zh. The corpus's zh slice (15%) goes und → zh.
+    "WITH toks AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t "
+    "FROM documents), "
+    "hits AS (SELECT doc_id, text, "
+    "len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS en, "
+    "len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS es, "
+    "len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS fr, "
+    "len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS de FROM toks), "
+    "base AS (SELECT doc_id, text, CASE WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und' "
+    "WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+    "WHEN es >= fr AND es >= de THEN 'es' WHEN fr >= de THEN 'fr' ELSE 'de' END AS lg FROM hits), "
+    "cjk AS (SELECT doc_id, lg, "
+    "len(text) - len(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk, "
+    "len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace FROM base) "
+    "SELECT doc_id, CASE WHEN lg = 'und' AND n_nonspace > 0 AND n_cjk / n_nonspace >= 0.3 "
+    "THEN 'zh' ELSE lg END AS lang_guess FROM cjk",
+)
+def t2b_lang_id_cjk(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id_cjk("text").alias("lang_guess")
+    )
+
+
+@register_extra(
+    "sc4_numeric_stats",
+    # distributed second-moment aggregates: stddev/corr accumulate in
+    # partition-order-dependent floating point, so both sides round —
+    # corr∈[-1,1] @4dp and stddev O(10) @3dp leave ~1e-10 headroom
+    "SELECT event_type, round(avg(value), 3) AS avg_value, "
+    "round(stddev_samp(value), 3) AS sd_value, "
+    "round(corr(value, epoch(ts)), 4) AS corr_value_time "
+    "FROM events GROUP BY event_type",
+)
+def sc4_numeric_stats(spark, sf_dir):
+    secs = F.col("ts").cast("timestamp").cast("double")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 3).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 3).alias("sd_value"),
+            F.round(F.corr(F.col("value"), secs), 4).alias("corr_value_time"),
+        )
+    )
+
+
 @register(
     "t3_fingerprint",
     "SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",

@@ -81,3 +81,20 @@ def test_stratified_sample_small_stratum_keeps_all(spark):
     got = stratified_sample(d, per_stratum=5).groupBy("lang").count().collect()
     per = {r["lang"]: r["count"] for r in got}
     assert per == {"en": 5, "fr": 2}  # a stratum smaller than the quota keeps all rows
+
+
+def test_lang_id_cjk_fallback(spark):
+    from otel_kafka_pg_spark.functions.text import lang_id, lang_id_cjk
+
+    rows = [
+        (1, "the cat and the dog of the house", "en"),          # lexicon hit → en
+        (2, "这是一个中文文档 关于分布式计算 的测试", "zh"),        # pure CJK → zh
+        (3, "机器学习 model training 数据集 pipeline 流处理", "zh"),  # mixed, ≥30% CJK, no lexicon hit → zh
+        (4, "qqq www zzz", "und"),                               # no lexicon, no CJK → und
+    ]
+    d = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r["lg"] for r in d.select("doc_id", lang_id_cjk("text").alias("lg")).collect()}
+    assert got == {i: lang for i, _, lang in rows}
+    # the base classifier called these zh docs 'und' — the fallback is additive
+    base = {r["doc_id"]: r["lg"] for r in d.select("doc_id", lang_id("text").alias("lg")).collect()}
+    assert base[2] == "und" and base[3] == "und"
