@@ -71,8 +71,11 @@ def main() -> int:
     from otel_kafka_pg_spark.plans.pipeline import run_pipeline, run_pipeline_onepass
 
     if args.layout == "onepass":
+        if args.salt_buckets:
+            ap.error("--salt-buckets applies only to --layout multiwrite")
         manifest = run_pipeline_onepass(
-            spark, input_path, args.output, parse_impl=args.parse_impl
+            spark, input_path, args.output, parse_impl=args.parse_impl,
+            resume=not args.no_resume,
         )
     else:
         manifest = run_pipeline(

@@ -58,13 +58,20 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
 
 
 def word_gram_strings(text_col: str, n: int = 5):
-    """Word n-grams as strings via zip-of-shifted-slices (the O(len) form —
-    see functions/text.py:_gram_structs for why a transform-lambda re-split
-    would be O(len²)). Documents shorter than n words yield no grams."""
+    """Word n-grams as strings via the shared zip-of-shifted-slices gram
+    builder (functions/text.py:_gram_structs — the O(len) shape; a
+    transform-lambda re-split would be O(len²)). Documents shorter than n
+    words yield NO grams (contamination semantics: a 3-word doc cannot
+    contain a 5-gram), unlike the shingle path's whole-text fallback —
+    hence the size guard around the shared builder."""
+    from ..functions.text import _gram_structs
+
     toks = _tokens(text_col)
-    shifted = [F.slice(toks, i + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))) for i in range(n)]
-    zipped = F.arrays_zip(*shifted)
-    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    grams = F.transform(
+        _gram_structs(toks, n, F.size(toks)),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def benchmark_contamination(

@@ -44,9 +44,14 @@ def connected_components(
     is the smallest node id in the component. Raises if ``max_iter`` rounds
     don't converge (a diameter larger than max_iter — raise it or switch to
     the star-contraction variant)."""
-    und = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        # materialize ONCE: the edge frame is re-joined every round, and for
+        # cc1/dp3 it is the entire MinHash-LSH pair pipeline — without this
+        # a d-round convergence pays (d+1)× the LSH cost
+        .localCheckpoint()
+    )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (

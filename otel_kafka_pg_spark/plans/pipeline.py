@@ -194,6 +194,7 @@ def run_pipeline_onepass(
     out_dir: str,
     lookup: DataFrame | None = None,
     parse_impl: str = "native",
+    resume: bool = True,
 ) -> dict:
     """The 100 TB routing alternative documented in SCALE.md, implemented:
     ONE write of the routed superset frame, hive-partitioned by
@@ -223,12 +224,13 @@ def run_pipeline_onepass(
     from .manifest import content_hash
 
     fp = input_fingerprint(input_path)
-    existing = load_manifest(out_dir)
-    if existing.get("input_fingerprint") == fp and existing.get("layout") == "onepass" and all(
-        existing["sinks"].get(s, {}).get("status") == "complete"
-        for s in (*SINK_BUILDERS, "sink_counts")
-    ):
-        return existing
+    if resume:  # resume=False forces a full rewrite even over a complete manifest
+        existing = load_manifest(out_dir)
+        if existing.get("input_fingerprint") == fp and existing.get("layout") == "onepass" and all(
+            existing["sinks"].get(s, {}).get("status") == "complete"
+            for s in (*SINK_BUILDERS, "sink_counts")
+        ):
+            return existing
 
     routed_dest = os.path.join(out_dir, "routed")
     t0 = time.monotonic()

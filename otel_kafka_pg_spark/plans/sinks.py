@@ -126,7 +126,12 @@ def retention_delete(spark: SparkSession, path: str, delete_cond) -> int:
     At scale the swap becomes an Iceberg ``DELETE FROM`` (metadata-only
     when the predicate aligns with partition bounds) — see
     retention_delete_iceberg; the rewrite fallback touches every byte once,
-    which is the unavoidable cost on raw parquet."""
+    which is the unavoidable cost on raw parquet.
+
+    The two-rename swap has a crash window where ``path`` is briefly
+    absent; entry-time ``recover_interrupted_swap`` restores a stranded
+    ``.old`` survivor, so the operation is restartable."""
+    recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     keep = df.filter(delete_cond.isNull() | ~delete_cond)
     tmp = path.rstrip("/") + ".rewrite.tmp"
@@ -146,25 +151,48 @@ def retention_delete_iceberg(spark: SparkSession, table: str, where_sql: str) ->
     spark.sql(f"DELETE FROM {table} WHERE {where_sql}")
 
 
+def recover_interrupted_swap(path: str) -> bool:
+    """Close the non-atomic window of the rewrite-and-swap pattern
+    (retention_delete / compact_sink): between ``rename(path, .old)`` and
+    ``rename(.tmp, path)`` a crash leaves NO directory at ``path``. Call on
+    startup (or before any swap-based op): if ``path`` is missing but its
+    ``.old`` survivor exists, restore it — the operation then simply never
+    happened. Returns True if a restore was performed."""
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[int, int]:
     """Compact a sink directory's small files into ~``target_mb`` files —
     the maintenance pass every streaming/append sink needs: micro-batch
     appends (stream_pipeline) and frequent small runs accumulate files far
     below the efficient scan size, inflating task counts and metadata
     (Iceberg's ``rewrite_data_files`` action; on raw parquet it is a
-    size-targeted rewrite + the same atomic directory swap as
-    retention_delete).
+    size-targeted rewrite + rewrite-and-swap like retention_delete).
 
-    File count is derived from the CURRENT compressed size on disk (not a
-    row-count heuristic), content is preserved exactly (order-insensitive
-    content hash asserted in tests), and the swap is write-temp → rename,
-    so a crash never leaves a half-compacted sink. Returns
-    (files_before, files_after).
+    - File count derives from the CURRENT compressed size on disk, not a
+      row-count heuristic; content is preserved exactly (order-insensitive
+      content hash asserted in tests).
+    - Hive partition layout (``key=value`` subdirectories, e.g. the
+      one-pass ``signal_type=...`` routing) is DETECTED and re-written
+      with the same ``partitionBy``, so partition-pruned views keep
+      working.
+    - Sidecar state (``_batches`` replay markers, any ``_``/``.``-prefixed
+      metadata dir) is carried into the rewritten directory — compaction
+      must never erase the idempotent-replay bookkeeping.
+    - The two-rename swap has a crash window where ``path`` is absent;
+      ``recover_interrupted_swap`` (called here on entry) restores the
+      ``.old`` survivor, making the op safely restartable rather than
+      claiming false atomicity.
+
+    Returns (files_before, files_after).
     """
-    import pyarrow.parquet as _  # noqa: F401  (parity with lineage reader deps)
-
     from .manifest import parquet_file_lineage
 
+    recover_interrupted_swap(path)
     before = len(parquet_file_lineage(path))
     size_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -173,10 +201,27 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
         if f.endswith(".parquet")
     )
     n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
+    partition_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        }
+    )
+    sidecars = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", "."))
+    ]
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    for d in sidecars:  # replay markers etc. survive the rewrite
+        shutil.copytree(os.path.join(path, d), os.path.join(tmp, d), dirs_exist_ok=True)
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

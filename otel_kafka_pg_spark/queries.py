@@ -427,9 +427,11 @@ def c3_cached_result_reuse(spark, sf_dir):
     # service instance, like the reference's Redis), so repeated
     # invocations of this entry reuse ONE persisted frame instead of
     # accumulating orphaned InMemoryRelations per call.
-    # sf_dir is part of the request identity — a session serving two data
-    # roots must not cross-serve cached results
-    desc = {"types": ["click", "view"], "min_value": 5.0, "sf_dir": sf_dir}
+    # sf_dir AND the session identity are part of the request key: two data
+    # roots must not cross-serve, and a recreated SparkSession must not be
+    # handed a DataFrame bound to a stopped/foreign context
+    app_id = spark.sparkContext.applicationId
+    desc = {"types": ["click", "view"], "min_value": 5.0, "sf_dir": sf_dir, "session": app_id}
 
     def build():
         flt = EventFilter(types_in=desc["types"], min_value=desc["min_value"])
@@ -437,7 +439,9 @@ def c3_cached_result_reuse(spark, sf_dir):
 
     _C3_CACHE.get_or_build("service_counts", desc, build)
     second, hit = _C3_CACHE.get_or_build(
-        "service_counts", {"min_value": 5.0, "sf_dir": sf_dir, "types": ["click", "view"]}, build
+        "service_counts",
+        {"min_value": 5.0, "session": app_id, "sf_dir": sf_dir, "types": ["click", "view"]},
+        build,
     )
     assert hit  # key canonicalization: param order must not matter
     return second
@@ -1713,27 +1717,42 @@ def st3_stateful_conversation_state(spark, sf_dir):
     # per-conversation running totals across micro-batches via
     # applyInPandasWithState (update mode); the memory sink accumulates
     # every update, final_conversation_state collapses to the last one.
+    # Leak discipline for repeated invocations in one session (bench
+    # best-of-2, sweeps): the temp source copy is deleted once the drain
+    # finishes (the memory sink holds the rows; nothing reads src after
+    # awaitTermination), and the sink table name is FIXED so re-runs
+    # replace one temp view instead of accumulating uuid-named tables in
+    # driver memory. The returned frame materializes the table's rows
+    # eagerly (createDataFrame) so a later invocation's replace cannot
+    # mutate an earlier caller's result.
+    import shutil
     import tempfile
-    import uuid
 
     from .sources.synth import load_or_synth_transcripts
     from .streaming.stateful import conversation_state_stream, final_conversation_state
 
     src = tempfile.mkdtemp(prefix="st3_src_")
-    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(6).write.mode(
-        "overwrite"
-    ).parquet(src)
-    name = f"st3_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        conversation_state_stream(spark, src, max_files_per_trigger=2)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return final_conversation_state(spark.sql(f"SELECT * FROM {name}"))
+    try:
+        spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(6).write.mode(
+            "overwrite"
+        ).parquet(src)
+        name = "st3_state_updates"
+        q = (
+            conversation_state_stream(spark, src, max_files_per_trigger=2)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        updates = spark.createDataFrame(
+            spark.sql(f"SELECT * FROM {name}").collect(),  # snapshot: ~200 tiny rows
+            spark.table(name).schema,
+        )
+        return final_conversation_state(updates)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 @register(

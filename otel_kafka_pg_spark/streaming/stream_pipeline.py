@@ -142,8 +142,13 @@ def run_stream(
                 marker = os.path.join(marker_dir, f"{batch_id}.done")
                 if os.path.exists(marker):
                     with open(marker) as fh:
-                        if fh.read().strip() == input_sig:
-                            continue
+                        content = fh.read().strip()
+                    # empty marker = legacy existence-only format (markers
+                    # written before signatures existed): the old contract
+                    # was "marker present → committed", so honor it — a
+                    # crash-restart upgrading mid-stream must not re-append
+                    if content == "" or content == input_sig:
+                        continue
                 builder(routed).write.mode("append").parquet(os.path.join(out_dir, name))
                 os.makedirs(marker_dir, exist_ok=True)
                 # atomic marker write (tmp + replace): the signature is

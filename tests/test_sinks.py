@@ -128,3 +128,53 @@ def test_compact_sink_is_idempotent(spark, tmp_path):
     _, n1 = compact_sink(spark, sink)
     _, n2 = compact_sink(spark, sink)
     assert n1 == n2  # already-compacted sink stays put
+
+
+def test_compact_sink_preserves_sidecar_markers_and_partitions(spark, tmp_path):
+    """Compaction must not erase the replay markers a streaming sink relies
+    on, and must preserve a hive partition layout (the one-pass routing
+    dir) including its partition-pruned reads."""
+    from otel_kafka_pg_spark.plans.manifest import content_hash
+    from otel_kafka_pg_spark.plans.sinks import compact_sink
+
+    sink = str(tmp_path / "psink")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for i in range(3):  # fragmented, hive-partitioned appends
+        ev.filter(F.col("event_id") % 3 == i).repartition(3).write.partitionBy(
+            "event_type"
+        ).mode("append").parquet(sink)
+    marker_dir = os.path.join(sink, "_batches")
+    os.makedirs(marker_dir)
+    with open(os.path.join(marker_dir, "0.done"), "w") as fh:
+        fh.write("sig0")
+    before_hash = content_hash(spark.read.parquet(sink))
+
+    n_before, n_after = compact_sink(spark, sink)
+    assert n_after < n_before
+    with open(os.path.join(marker_dir, "0.done")) as fh:
+        assert fh.read() == "sig0"  # sidecar carried over
+    assert content_hash(spark.read.parquet(sink)) == before_hash
+    # partition layout survives: key=value dirs exist and pruning works
+    assert any("event_type=" in d for d in os.listdir(sink))
+    pruned = spark.read.parquet(sink).filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
+
+
+def test_interrupted_swap_recovers(spark, tmp_path):
+    from otel_kafka_pg_spark.plans.sinks import compact_sink, recover_interrupted_swap
+
+    sink = str(tmp_path / "rsink")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(sink)
+    n = spark.read.parquet(sink).count()
+    # simulate a crash between the two renames: path gone, .old survives
+    os.rename(sink, sink + ".old")
+    assert recover_interrupted_swap(sink)
+    assert spark.read.parquet(sink).count() == n
+    # and compact_sink itself self-heals on entry
+    os.rename(sink, sink + ".old")
+    compact_sink(spark, sink)
+    assert spark.read.parquet(sink).count() == n
