@@ -70,6 +70,21 @@ def test_every_driver_entry_executes_under_vanilla_confs(vanilla, sf_dir):
         vanilla.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+def test_every_extra_entry_executes_under_vanilla_confs(vanilla, sf_dir):
+    """Same conf-independence sweep for the EXTRA_REGISTRY: extras rotate
+    into future driver windows, so they must already run under the
+    driver's default session confs."""
+    from otel_kafka_pg_spark.queries import EXTRA_REGISTRY
+
+    prev_shuffle = vanilla.conf.get("spark.sql.shuffle.partitions")
+    vanilla.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        for name, (fn, _) in EXTRA_REGISTRY.items():
+            assert fn(vanilla, sf_dir).count() >= 0, name
+    finally:
+        vanilla.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 def test_merge_precedence_is_policy_independent(vanilla):
     # both merge directions produce identical results under EXCEPTION policy
     from otel_kafka_pg_spark.functions.attrs import merge_attrs
