@@ -151,6 +151,24 @@ def retention_delete_iceberg(spark: SparkSession, table: str, where_sql: str) ->
     spark.sql(f"DELETE FROM {table} WHERE {where_sql}")
 
 
+def write_bucketed(
+    df, table_name: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the
+    co-located-join layout for fact-to-fact joins too big to broadcast:
+    two tables bucketed the same way join WITHOUT any exchange (and
+    without even a sort when both are sortBy'd), because matching buckets
+    are read pairwise. At 100 TB this converts the repeated
+    orders⋈lineitem-style shuffle (~input-sized, every query) into a
+    one-time layout cost at write. Bucketing requires the table catalog
+    (`saveAsTable`), not a bare path — bucket metadata lives in the
+    catalog. tests/test_plan_guards.py asserts the exchange-free plan."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
 def recover_interrupted_swap(path: str) -> bool:
     """Close the non-atomic window of the rewrite-and-swap pattern
     (retention_delete / compact_sink): between ``rename(path, .old)`` and

@@ -154,3 +154,33 @@ def test_sink_counts_single_shuffle(spark):
     routed = build_routed(spark, spark.read.parquet(load_or_synth_transcripts(2000, seed=7)))
     plan = _plan(sink_counts(routed))
     assert "partial_count" in plan  # map-side combine before the one shuffle
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Co-located join layout: two tables bucketed+sorted on the join key
+    join with NO Exchange on either side (and no extra Sort) — the scale
+    pattern that amortizes a repeated fact-to-fact shuffle into a one-time
+    write layout. Guarded here so a bucketing regression (e.g. a cast on
+    the key killing bucket matching) can't land silently."""
+    from otel_kafka_pg_spark.plans.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderstatus")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", n_buckets=4)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at test scale the planner would broadcast (and skip bucket reads
+    # entirely); disable it to exercise the fact-to-fact SMJ shape this
+    # layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle either side
+        assert "Bucketed: true" in plan
+        assert joined.count() == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
