@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 from otel_kafka_pg_spark.functions.attrs import canonical_json, merge_attrs
 from otel_kafka_pg_spark.functions.text import winnowing_fingerprints_md5
 
+import os
+
+# 12 examples keeps CI fast (each example is a Spark job); deep shakes run
+# HYP_EXAMPLES=200 python -m pytest tests/test_properties.py
 SET = settings(
-    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    max_examples=int(os.environ.get("HYP_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
 # printable-ish text incl. whitespace runs and unicode, no surrogates
