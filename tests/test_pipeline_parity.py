@@ -134,3 +134,42 @@ def test_onepass_partitioned_routing_matches_multiwrite(spark, transcripts_path,
     plan = SINK_BUILDERS["traces"](back)._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "signal_type" in m.group(1) and "trace" in m.group(1), m.group(0) if m else plan[:500]
+
+
+def test_pipeline_survives_mega_conversation_skew(spark, tmp_path):
+    """Stress the documented skew bound: the synth contract caps
+    conversations at ~4k turns, but a real corpus can violate it. One
+    conversation holding 50% of all turns (25k of 50k) must still route
+    correctly — the ordering window sorts it in ONE task (that is the
+    design: a conversation is the unit of ordering), so this pins that a
+    cap violation degrades to a slow task, not an error or wrong rows."""
+    import pandas as pd
+
+    from otel_kafka_pg_spark.plans.pipeline import run_pipeline
+
+    n_mega, n_rest = 25_000, 25_000
+    rows = {
+        "conv_id": ["conv-mega"] * n_mega + [f"conv-{i % 500:05d}" for i in range(n_rest)],
+        "turn_idx": list(range(n_mega)) + [i // 500 for i in range(n_rest)],
+        "role": ["user"] * (n_mega + n_rest),
+        "text": [f"turn {i} INFO" for i in range(n_mega + n_rest)],
+        "tool": ["search"] * (n_mega + n_rest),
+        # datetime64[us]: Spark's parquet reader rejects TIMESTAMP(NANOS)
+        "ts": pd.to_datetime(
+            1735689600_000 + pd.Series(range(n_mega + n_rest)) * 1000, unit="ms"
+        ).astype("datetime64[us]"),
+    }
+    src = str(tmp_path / "skew_src")
+    pd.DataFrame(rows).to_parquet(src + ".parquet")
+    out = str(tmp_path / "skew_out")
+    manifest = run_pipeline(spark, src + ".parquet", out, resume=False)
+    total = sum(manifest["sinks"][s]["rows"] for s in ("traces", "logs", "metrics"))
+    assert total == n_mega + n_rest  # every turn routed exactly once
+    import pyspark.sql.functions as _F
+
+    logs = spark.read.parquet(f"{out}/logs")
+    mega = logs.filter(_F.col("conv_id") == "conv-mega")
+    assert mega.count() == n_mega
+    # ordering survived the skew: turn_idx is dense 0..n-1 for the mega conv
+    mm = mega.agg(_F.min("turn_idx"), _F.max("turn_idx"), _F.count_distinct("turn_idx")).collect()[0]
+    assert tuple(mm) == (0, n_mega - 1, n_mega)
