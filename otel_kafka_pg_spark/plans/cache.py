@@ -65,20 +65,30 @@ class ResultCache:
         the result is persisted AND materialized (count) so every later
         action — including from other requests — reads cached blocks, the
         write-through the reference does after a 2xx response
-        (cache.go:101-116)."""
+        (cache.go:101-116).
+
+        Every call also opportunistically purges ALL expired entries (not
+        just the requested key), so a long-lived cache never accumulates
+        persisted-DataFrame references for keys that are never re-requested
+        — Redis's lazy+active expiry, collapsed to expiry-on-traffic."""
         key = cache_key(name, descriptor)
-        ent = self._entries.get(key)
         now = time.monotonic()
-        if ent is not None and now < ent.expires_at:
+        self._purge_expired(now)
+        ent = self._entries.get(key)
+        if ent is not None:
             self.hits += 1
             return ent.df, True
-        if ent is not None:  # expired — drop the blocks before rebuilding
-            ent.df.unpersist()
         self.misses += 1
         df = build().persist()
         df.count()
         self._entries[key] = _Entry(df, now + self.ttl_s)
         return df, False
+
+    def _purge_expired(self, now: float) -> int:
+        expired = [k for k, e in self._entries.items() if now >= e.expires_at]
+        for k in expired:
+            _safe_unpersist(self._entries.pop(k).df)
+        return len(expired)
 
     def invalidate(self, prefix: str = "cache:") -> int:
         """Unpersist and drop every entry whose key starts with ``prefix``
@@ -86,5 +96,15 @@ class ResultCache:
         delete-on-write path). Returns the number of entries dropped."""
         doomed = [k for k in self._entries if k.startswith(prefix)]
         for k in doomed:
-            self._entries.pop(k).df.unpersist()
+            _safe_unpersist(self._entries.pop(k).df)
         return len(doomed)
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    """unpersist() on a frame bound to a stopped SparkContext raises — for a
+    module-level cache outliving test sessions that just means the blocks
+    are already gone, so dropping the reference is the whole job."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass

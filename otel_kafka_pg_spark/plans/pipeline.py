@@ -112,7 +112,12 @@ def run_pipeline(
     """
     fp = input_fingerprint(input_path)
     manifest = load_manifest(out_dir) if resume else {"input_fingerprint": None, "sinks": {}}
-    if manifest.get("input_fingerprint") != fp:
+    # a onepass-layout manifest over the same out_dir marks the SAME sinks
+    # "complete" but never wrote the per-sink directories this layout
+    # produces — treat it like a fingerprint mismatch (the mirror of the
+    # layout check run_pipeline_onepass performs), otherwise a multiwrite
+    # resume over a onepass result returns success without writing anything
+    if manifest.get("input_fingerprint") != fp or manifest.get("layout") == "onepass":
         manifest = {"input_fingerprint": fp, "sinks": {}}
 
     pending = [

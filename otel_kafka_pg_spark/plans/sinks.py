@@ -200,16 +200,33 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
       working.
     - Sidecar state (``_batches`` replay markers, any ``_``/``.``-prefixed
       metadata dir) is carried into the rewritten directory — compaction
-      must never erase the idempotent-replay bookkeeping.
+      must never erase the idempotent-replay bookkeeping. Sidecars are
+      re-copied IMMEDIATELY before the swap (after the slow rewrite), so a
+      marker appended by a concurrent stream during the rewrite window is
+      still carried over; the residual race is the two renames themselves.
+      Compaction of a live streaming sink should still be scheduled between
+      micro-batches (the trigger interval dwarfs two renames) — the same
+      discipline Iceberg's rewrite_data_files needs vs. concurrent commits.
     - The two-rename swap has a crash window where ``path`` is absent;
       ``recover_interrupted_swap`` (called here on entry) restores the
       ``.old`` survivor, making the op safely restartable rather than
       claiming false atomicity.
+    - Local-filesystem only, asserted at entry: the directory-rename swap
+      has no object-store analog (S3 renames are copies, not atomic). On an
+      object store, compact via the table format instead (Iceberg
+      ``rewrite_data_files``); lineage reads (parquet_file_lineage) are the
+      part that is filesystem-abstracted, not this rewrite.
 
     Returns (files_before, files_after).
     """
     from .manifest import parquet_file_lineage
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_sink requires a local path (got {path!r}): the atomic "
+            "directory-rename swap does not exist on object stores — use the "
+            "table format's compaction (Iceberg rewrite_data_files) there"
+        )
     recover_interrupted_swap(path)
     before = len(parquet_file_lineage(path))
     size_bytes = sum(
@@ -226,11 +243,6 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
             if "=" in d and os.path.isdir(os.path.join(path, d))
         }
     )
-    sidecars = [
-        d
-        for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", "."))
-    ]
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -238,7 +250,15 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    for d in sidecars:  # replay markers etc. survive the rewrite
+    # sidecars (replay markers etc.) are listed and copied AFTER the rewrite,
+    # immediately before the swap: markers appended by a concurrent stream
+    # during the (slow) rewrite are still carried over
+    sidecars = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", "."))
+    ]
+    for d in sidecars:
         shutil.copytree(os.path.join(path, d), os.path.join(tmp, d), dirs_exist_ok=True)
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)

@@ -28,6 +28,7 @@ documented superset (see SURVEY.md §8).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -443,7 +444,12 @@ def c3_cached_result_reuse(spark, sf_dir):
         {"min_value": 5.0, "session": app_id, "sf_dir": sf_dir, "types": ["click", "view"]},
         build,
     )
-    assert hit  # key canonicalization: param order must not matter
+    if not hit:  # key canonicalization: param order must not matter
+        # explicit raise (not assert: vanishes under `python -O`); the only
+        # legitimate miss would be a >TTL pause between the two calls, which
+        # tests/test_cache.py pins separately — here it is a hard error so a
+        # canonicalization regression can never pass silently
+        raise RuntimeError("c3: second request missed the cache — key canonicalization broken")
     return second
 
 
@@ -1580,7 +1586,11 @@ def _routed(spark, n_turns=6000):
 # _ensure_pipeline_input). DuckDB's RE2 has no lookbehind, so the severity
 # token's `(?<!status=)` is emulated by stripping `status=OK|ERROR`
 # fragments before matching — equivalent first-match semantics.
-_PIPE_PARQUET = "/root/repo/.data/transcripts_n6000_s42.parquet"
+# Derived from the module location (synth.DATA_DIR) at registry-build time,
+# never hard-coded: the repo stays relocatable.
+from .sources.synth import DATA_DIR as _DATA_DIR
+
+_PIPE_PARQUET = os.path.join(_DATA_DIR, "transcripts_n6000_s42.parquet")
 
 _PIPE_SQL_CTE = (
     f"t AS (SELECT * FROM read_parquet('{_PIPE_PARQUET}')), "

@@ -136,6 +136,25 @@ def test_onepass_partitioned_routing_matches_multiwrite(spark, transcripts_path,
     assert m and "signal_type" in m.group(1) and "trace" in m.group(1), m.group(0) if m else plan[:500]
 
 
+def test_multiwrite_resume_over_onepass_layout_rewrites(spark, transcripts_path, tmp_path):
+    """Layout-mismatch resume symmetry (round-3 advice): a onepass manifest
+    marks the same sink names complete but never wrote the per-sink
+    directories — resuming run_pipeline over it must rewrite everything
+    (and vice versa, which run_pipeline_onepass already guards)."""
+    import os
+
+    from otel_kafka_pg_spark.plans.pipeline import run_pipeline_onepass
+
+    out = str(tmp_path / "mixed")
+    run_pipeline_onepass(spark, transcripts_path, out)
+    manifest = run_pipeline(spark, transcripts_path, out)  # must NOT no-op
+    for sink in ("traces", "logs", "metrics", "sink_counts"):
+        dest = os.path.join(out, sink)
+        assert os.path.isdir(dest), f"{sink}: multiwrite resume over onepass wrote nothing"
+        assert manifest["sinks"][sink]["rows"] == spark.read.parquet(dest).count()
+    assert manifest.get("layout") != "onepass"
+
+
 def test_pipeline_survives_mega_conversation_skew(spark, tmp_path):
     """Stress the documented skew bound: the synth contract caps
     conversations at ~4k turns, but a real corpus can violate it. One
