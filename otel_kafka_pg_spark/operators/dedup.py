@@ -182,20 +182,37 @@ def ngram_jaccard_pairs(
 
 
 
+_UNBOUNDED_PAIRS_CAP = 10_000
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_id: int | None = None,
+    allow_unbounded: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold over a bounded id
-    range (brute-force n², the verification primitive — the scale path
-    buckets by sign-LSH first, see simsearch.make_bucketizer, so only
-    same-bucket pairs are compared)."""
+    range (brute-force n², the verification primitive — the scale path is
+    ``embedding_lsh_pairs``, which buckets by sign-LSH so only
+    near-in-hash pairs are compared).
+
+    Unbounded-input guard: with ``max_id=None`` this is an all-pairs
+    cross join — quadratic in the table. Inputs beyond ~10⁴ rows raise
+    (pass ``allow_unbounded=True`` to override knowingly); the check is a
+    capped ``limit(N+1).count()``, cheap relative to the n² that follows."""
     base = df
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
+    elif not allow_unbounded:
+        n = base.limit(_UNBOUNDED_PAIRS_CAP + 1).count()
+        if n > _UNBOUNDED_PAIRS_CAP:
+            raise ValueError(
+                f"embedding_cosine_pairs without max_id is all-pairs O(n²) and the "
+                f"input exceeds {_UNBOUNDED_PAIRS_CAP} rows — use embedding_lsh_pairs "
+                "(sign-LSH bucketed, the scale path) or pass allow_unbounded=True / a max_id bound"
+            )
     v = base.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -211,6 +228,79 @@ def embedding_cosine_pairs(
             F.col("b.id").alias("id_b"),
             F.round(dot / (F.col("a.n") * F.col("b.n")), 4).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    bucket_hamming: int = 1,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Sign-LSH-bucketed embedding near-dup pairs — the 100 TB path that
+    ``embedding_cosine_pairs`` verifies.
+
+    Candidate pairs are pairs whose sign-LSH bucket ids (``bits`` seeded
+    random hyperplanes, simsearch.make_bucketizer) differ in at most
+    ``bucket_hamming`` bits; only candidates get the exact cosine verify.
+    Shape mirrors dd3 (MinHash) and dd4 (SimHash): the candidate join
+    shuffles (id, bucket) ONLY — vectors are re-joined by id for the
+    verify, never multiplied through the explode. Each row explodes to
+    ``Σ C(bits, 0..bucket_hamming)`` probe buckets (9 at the 8/1 default)
+    and a qualifying pair matches on exactly ONE mask (the xor of its two
+    buckets), so no distinct pass is needed.
+
+    Recall economics (fixed seed ⇒ deterministic, pinned in tests): a pair
+    at cosine t collides on one hyperplane with p = 1 - acos(t)/π, so
+    P[hamming ≤ 1] at t=0.9, bits=8 is ~0.67 — the standard single-table
+    LSH trade; multiple seeds (union of tables) buy recall linearly in
+    cost, exactly like MinHash bands.
+
+    ``bucket_hamming >= bits`` makes EVERY pair a candidate: output equals
+    brute force exactly while the bucketize → explode → bucket-join → verify
+    machinery still executes — the verification configuration (the e2/dd4
+    exact-oracle-by-parameter pattern)."""
+    from .simsearch import make_bucketizer
+
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    head = base.select(vec_col).head()
+    if head is None:  # empty input → empty pair frame with the right schema
+        return base.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"), F.lit(0.0).alias("cosine")
+        ).limit(0)
+    bucketize = make_bucketizer(len(head[0]), bits, seed)
+    v = base.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("_b", bucketize(F.col("v")))
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    v = v.withColumn("n", norm)
+    r = min(bucket_hamming, bits)
+    masks = [m for m in range(1 << bits) if bin(m).count("1") <= r]
+    ids = v.select("id", "_b")
+    probes = ids.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])).alias("_pb"),
+    )
+    cand = (
+        probes.join(ids.select(F.col("id").alias("id_b"), F.col("_b").alias("_pb")), "_pb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("_va"), F.col("n").alias("_na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"), F.col("n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(dot / (F.col("_na") * F.col("_nb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -72,14 +72,14 @@ def register_extra(name: str, oracle: str | None):
 
 
 # The exact order queries()/oracle_sql() emit driver entries in: the driver
-# checks the first 50. Round-3 rotation: entries fixed or changed this round
-# (st1/f10 session-independence, e2/e3 full-probe oracles, mm1/mm2 exact
-# oracles, u2 merge guard, pk1 per-shard) and entries never driver-checked
-# before (c3, px1, dd4b, t1–t5 standalone, e1b) lead; entries already
-# driver-green in BOTH r1 and r2 rotated to EXTRA_REGISTRY (still verified
-# by the local DuckDB replica, tests/test_oracle_differential.py) to free
-# their slots — the goal is a driver-green row for EVERY registry entry
-# across r1∪r2∪r3.
+# checks the first 50. Round-4 rotation (the r3 verdict's item 2): the nine
+# extras never driver-checked (cc1, dp3, v1, ct1, sm1, rw1, pv1, sc4, t2b)
+# plus three NEW entries (dd5b bucketed embedding dedup, e2y/e3y ANN recall
+# gates) enter the window; the twelve entries green in r2∧r3 (f1, f6, a1,
+# a2, a4, j1, o2, s1, r1, r2, q1, w1) rotate to EXTRA_REGISTRY — still
+# verified by the local DuckDB replica of the same gate
+# (tests/test_oracle_differential.py runs BOTH registries). With this
+# rotation every registry entry has a driver-green row in r1∪r2∪r3∪r4.
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -90,6 +90,18 @@ DRIVER_ORDER = [
     "u2_merge_into",
     "rd1_retention_delete",
     "a5_trace_reassembly",
+    "cc1_dedup_clusters",
+    "dp3_corpus_prep_clustered",
+    "dd5b_embedding_lsh_pairs",
+    "e2y_lsh_ann_recall_gate",
+    "e3y_ivf_ann_recall_gate",
+    "v1_vocab_topk",
+    "ct1_benchmark_contamination",
+    "sm1_stratified_sample",
+    "rw1_rolling_hourly_rate",
+    "pv1_pivot_user_type_counts",
+    "sc4_numeric_stats",
+    "t2b_lang_id_cjk",
     "dd4_simhash_near_pairs",
     "t1_text_profile",
     "t6_winnowing_fingerprints",
@@ -113,24 +125,12 @@ DRIVER_ORDER = [
     "e1b_cosine_topk_pandas",
     "dd1_exact_dedup",
     "dd3b_minhash_lsh_highsim",
-    "f1_time_range",
-    "f6_ilike_substring",
-    "a1_service_counts",
-    "a2_severity_rank_order",
-    "a4_trace_groups",
     "a6_service_stats",
     "a7_service_metrics_percentiles",
     "tpch_q1",
     "c1_rollup",
-    "j1_left_join_group_count",
     "j3_broadcast_enrich",
-    "o2_dynamic_sort_whitelist",
     "aj1_asof_join",
-    "s1_except_all",
-    "r1_request_lifecycle_page",
-    "r2_request_lifecycle_summary",
-    "q1_traceid_substring_quirk",
-    "w1_latest_per_user",
 ]
 
 
@@ -145,7 +145,7 @@ def _t(spark, sf_dir, name):
 EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 
-@register(
+@register_extra(
     "f1_time_range",
     "SELECT event_id, ts, user_id, event_type, value FROM events "
     "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'",
@@ -198,7 +198,7 @@ def f5_root_span_parenthesized(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "f6_ilike_substring",
     "SELECT doc_id, lang FROM documents WHERE text ILIKE '%spark%' OR source ILIKE '%src1%'",
 )
@@ -246,7 +246,7 @@ def f9_severity_set(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "a1_service_counts",
     "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
     "ORDER BY cnt DESC, event_type LIMIT 20",
@@ -255,7 +255,7 @@ def a1_service_counts(spark, sf_dir):
     return agg.service_counts(_t(spark, sf_dir, "events"))
 
 
-@register(
+@register_extra(
     "a2_severity_rank_order",
     "SELECT event_type, count(*) AS cnt, CASE event_type WHEN 'error' THEN 1 WHEN 'signup' THEN 2 "
     "WHEN 'purchase' THEN 3 WHEN 'click' THEN 4 WHEN 'view' THEN 5 ELSE 6 END AS sev_rank "
@@ -274,7 +274,7 @@ def a3_total_count(spark, sf_dir):
     return agg.total_count(build_event_filter(_t(spark, sf_dir, "events"), flt))
 
 
-@register(
+@register_extra(
     "a4_trace_groups",
     "SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order, "
     "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price, "
@@ -467,7 +467,7 @@ def c2_cube(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "j1_left_join_group_count",
     "SELECT o_orderkey, o_orderstatus, count(l.l_linenumber) AS log_count FROM orders o "
     "LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY o_orderkey, o_orderstatus",
@@ -511,7 +511,7 @@ def o1_sort_desc_page(spark, sf_dir):
     return agg.page_events(_t(spark, sf_dir, "events"), "time", True, 20).select("event_id", "ts", "event_type", "value")
 
 
-@register(
+@register_extra(
     "o2_dynamic_sort_whitelist",
     "SELECT event_id, value FROM events ORDER BY value ASC, event_id ASC LIMIT 100",
 )
@@ -577,7 +577,7 @@ def s3_intersect(spark, sf_dir):
     return a.intersect(b)
 
 
-@register(
+@register_extra(
     "s1_except_all",
     "SELECT event_id, event_type FROM events WHERE value > 10 "
     "EXCEPT ALL SELECT event_id, event_type FROM events WHERE value > 50",
@@ -589,7 +589,7 @@ def s1_except_all(spark, sf_dir):
     return a.exceptAll(b)
 
 
-@register(
+@register_extra(
     "r1_request_lifecycle_page",
     "SELECT event_id, ts, event_type, value FROM events "
     "WHERE event_type IN ('click','view') AND value >= 5.0 "
@@ -603,7 +603,7 @@ def r1_request_lifecycle_page(spark, sf_dir):
     return req["page"].select("event_id", "ts", "event_type", "value")
 
 
-@register(
+@register_extra(
     "r2_request_lifecycle_summary",
     "WITH f AS (SELECT * FROM events WHERE event_type IN ('click','view') AND value >= 5.0), "
     "svc AS (SELECT event_type, count(*) AS cnt FROM f GROUP BY event_type "
@@ -618,7 +618,7 @@ def r2_request_lifecycle_summary(spark, sf_dir):
     return req["service_counts"].crossJoin(req["total"])
 
 
-@register(
+@register_extra(
     "q1_traceid_substring_quirk",
     "SELECT event_id, user_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%42%'",
 )
@@ -730,7 +730,7 @@ def rd1_retention_delete(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "w1_latest_per_user",
     "SELECT user_id, event_id, event_type FROM ("
     "SELECT user_id, event_id, event_type, row_number() OVER "
@@ -794,7 +794,7 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "rw1_rolling_hourly_rate",
     # telemetry staple the reference lacks: per-event sliding-window rate —
     # for each event, how many same-type events arrived in the preceding
@@ -817,7 +817,7 @@ def rw1_rolling_hourly_rate(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "pv1_pivot_user_type_counts",
     # pivot: one row per user, one count column per event type (fixed
     # column set — the only scale-sane pivot: explicit values, no
@@ -1036,7 +1036,7 @@ def dd3b_minhash_lsh_highsim(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
 
 
-@register_extra(
+@register(
     "cc1_dedup_clusters",
     # duplicate-cluster resolution: near-dup PAIRS (the exact dd3b edge
     # set) closed into connected COMPONENTS, every doc labeled with its
@@ -1133,6 +1133,45 @@ def dd5_embedding_cosine_near_dup(spark, sf_dir):
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.6, max_id=200)
 
 
+@register(
+    "dd5b_embedding_lsh_pairs",
+    # the SCALE path for embedding near-dup (sign-LSH bucket join, vectors
+    # never shuffled through the candidate explode), run in its exact
+    # verification configuration: bucket_hamming = bits makes every pair a
+    # candidate, so the output provably equals brute force while the
+    # bucketize → probe-explode → bucket-join → verify machinery executes
+    # (the e2/dd4 exact-oracle-by-parameter pattern). Threshold 0.3 keeps
+    # the output NON-empty on this near-uniform table (990 pairs at
+    # sf0.01), unlike dd5's 0-row slot. Oracle: DuckDB brute force.
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+    "FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.e, b.e), 4) AS cosine "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3",
+)
+def dd5b_embedding_lsh_pairs(spark, sf_dir):
+    from .operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4, bucket_hamming=4
+    )
+
+
+@register_extra("dd5bx_embedding_lsh_pruned", None)  # approximate by design → rows-only
+def dd5bx_embedding_lsh_pruned(spark, sf_dir):
+    # the production pruned config (bits=8, bucket_hamming=1: 9 probe
+    # buckets of 256). Per-plane collision p = 1-acos(t)/π gives
+    # P[hamming≤1] ≈ 0.96 at t=0.98 (true near-dups) but ≈0.12 at t=0.3 —
+    # single-table LSH is a HIGH-threshold tool; recall on planted
+    # near-dups is pinned in tests/test_dataops.py.
+    from .operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=8, bucket_hamming=1
+    )
+
+
 # One text-analysis profile query covering SURVEY's T-family in a single
 # oracled pass: token stats (t1), language ID (t2), quality score (t4), and
 # BPE-ish token count (t5) — each still has a standalone extra entry; all
@@ -1206,7 +1245,7 @@ def t2_lang_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.lang_id(F.lower(F.col("text"))).alias("lang_guess"))
 
 
-@register_extra(
+@register(
     "t2b_lang_id_cjk",
     # CJK-script fallback: unsegmented Chinese defeats whitespace-token
     # stopword lexicons (one giant token, zero hits → 'und'); when no
@@ -1234,7 +1273,7 @@ def t2b_lang_id_cjk(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "sc4_numeric_stats",
     # distributed second-moment aggregates: stddev/corr accumulate in
     # partition-order-dependent floating point, so both sides round —
@@ -1350,7 +1389,7 @@ def dp2_corpus_prep_full(spark, sf_dir):
     return kept.join(near, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
-@register_extra(
+@register(
     "dp3_corpus_prep_clustered",
     # dp2's chain with the PRODUCTION near-dup stage: cluster-resolved
     # dedup (connected components over the near-pair edges, keep the
@@ -1420,7 +1459,7 @@ _VOCAB_TOKS = (
 )
 
 
-@register_extra(
+@register(
     "v1_vocab_topk",
     f"WITH {_VOCAB_TOKS} "
     "SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs "
@@ -1433,7 +1472,7 @@ def v1_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
-@register_extra(
+@register(
     "ct1_benchmark_contamination",
     # docs 0–19 stand in for a held-out benchmark; any other doc sharing a
     # word 5-gram with them is contaminated. DuckDB re-derives the same
@@ -1458,7 +1497,7 @@ def ct1_benchmark_contamination(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "sm1_stratified_sample",
     # deterministic per-language quota sample: md5 rank key is identical in
     # both engines, so the sampled id set matches exactly
@@ -1565,6 +1604,77 @@ def e3x_ivf_ann_reduced_probe(spark, sf_dir):
     from .operators.simsearch import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=2)
+
+
+def _ann_recall_gate(ann: DataFrame, brute: DataFrame, min_found: int, consts: list):
+    """One-row recall gate: |ann ∩ brute-top-k| ≥ min_found, computed as a
+    lazy distributed join-and-count (no collect). The oracle for these
+    entries is the pinned CONTRACT row (constants + recall_ok=true), not a
+    re-derivation — DuckDB cannot run the ANN side — so driver-green means
+    the measured recall of the pruned config cleared the threshold on the
+    driver's own table, by actual execution. The brute-force comparator is
+    computed in-query, exactly (it IS e1's oracle query)."""
+    found = ann.select("vec_id").join(brute.select("vec_id"), "vec_id")
+    return found.agg(F.count(F.lit(1)).alias("_n")).select(
+        *consts, (F.col("_n") >= min_found).alias("recall_ok")
+    )
+
+
+# e2y recall economics on THIS table (near-uniform random vectors, the hard
+# regime: median pairwise cosine 0.013): multi-bit multi-probe
+# (probe_buckets, flip cost = summed hyperplane margins) reaches recall 1.0
+# at 12/16 buckets probed at sf0.01. On clustered real embeddings the same
+# machinery holds recall 0.9 at 2/16 buckets (tests/test_dataops.py) — the
+# probe count, not the machinery, is what the data's structure buys.
+@register(
+    "e2y_lsh_ann_recall_gate",
+    "SELECT CAST(10 AS BIGINT) AS k, 12 AS n_probe, 16 AS buckets_total, "
+    "0.9 AS min_recall, true AS recall_ok",
+)
+def e2y_lsh_ann_recall_gate(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    ann = lsh_bucket_topk(emb, q, k=10, bits=4, n_probe=12)
+    brute = cosine_topk(emb, q, k=10)
+    return _ann_recall_gate(
+        ann,
+        brute,
+        min_found=9,
+        consts=[
+            F.lit(10).cast("long").alias("k"),
+            F.lit(12).alias("n_probe"),
+            F.lit(16).alias("buckets_total"),
+            F.lit(0.9).alias("min_recall"),
+        ],
+    )
+
+
+@register(
+    "e3y_ivf_ann_recall_gate",
+    "SELECT CAST(10 AS BIGINT) AS k, 6 AS n_probe, 8 AS cells_total, "
+    "0.9 AS min_recall, true AS recall_ok",
+)
+def e3y_ivf_ann_recall_gate(spark, sf_dir):
+    # same gate for IVF: 6 of 8 cells probed recalls ≥0.9 of brute-force
+    # top-10 on the near-uniform driver table (measured 0.9 at sf0.01);
+    # clustered embeddings reach the same recall at 2/8 cells.
+    from .operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    ann = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=6)
+    brute = cosine_topk(emb, q, k=10)
+    return _ann_recall_gate(
+        ann,
+        brute,
+        min_found=9,
+        consts=[
+            F.lit(10).cast("long").alias("k"),
+            F.lit(6).alias("n_probe"),
+            F.lit(8).alias("cells_total"),
+            F.lit(0.9).alias("min_recall"),
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------

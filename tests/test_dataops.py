@@ -144,11 +144,67 @@ def test_embedding_cosine_pairs_threshold(spark):
     assert got[(0, 1)] > 0.99
 
 
+def test_embedding_cosine_pairs_unbounded_raises_on_large_input(spark):
+    from otel_kafka_pg_spark.operators.dedup import _UNBOUNDED_PAIRS_CAP
+
+    big = spark.range(_UNBOUNDED_PAIRS_CAP + 1).selectExpr(
+        "id AS vec_id", "array(1.0, 2.0) AS embedding"
+    )
+    with pytest.raises(ValueError, match="embedding_lsh_pairs"):
+        embedding_cosine_pairs(big)
+    # the three escape hatches still work: bound, explicit opt-in, small input
+    assert embedding_cosine_pairs(big, max_id=3).count() == 3
+    small = big.limit(5)
+    assert embedding_cosine_pairs(small).count() == 10
+
+
 def _emb(spark, n=200, d=8, seed=11):
     rng = np.random.RandomState(seed)
     m = rng.randn(n, d).astype("float32")
     rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
     return spark.createDataFrame(rows, "vec_id int, embedding array<float>"), m
+
+
+def test_embedding_lsh_pairs_full_hamming_equals_brute_force(spark):
+    """The dd5b verification identity: bucket_hamming = bits makes every
+    pair a candidate, so the bucketed operator's output must equal the
+    brute-force primitive exactly (ids AND rounded cosines)."""
+    from otel_kafka_pg_spark.operators.dedup import embedding_lsh_pairs
+
+    df, _ = _emb(spark, n=80)
+    brute = {(r["id_a"], r["id_b"], r["cosine"]) for r in embedding_cosine_pairs(df, threshold=0.3).collect()}
+    full = {(r["id_a"], r["id_b"], r["cosine"]) for r in embedding_lsh_pairs(df, threshold=0.3, bits=4, bucket_hamming=4).collect()}
+    assert brute and full == brute
+
+
+def test_embedding_lsh_pairs_pruned_recovers_planted_near_dups(spark):
+    """Production config (bits=8, bucket_hamming=1) on PLANTED near-dups:
+    cosine ≈0.999 pairs collide per-hyperplane with p = 1-acos(t)/π ≈ 0.99,
+    so P[hamming ≤ 1] ≈ 0.997 per pair — at a fixed seed, all planted pairs
+    must surface, and no pair below threshold may be fabricated."""
+    from otel_kafka_pg_spark.operators.dedup import embedding_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant 10 near-dups: id 100+i = tiny perturbation of id i
+    for i in range(10):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(df, threshold=0.95, bits=8, bucket_hamming=1).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= got
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.95).collect()}
+    assert got <= brute  # exact verify: no fabricated pairs
+
+
+def test_embedding_lsh_pairs_empty_input(spark):
+    from otel_kafka_pg_spark.operators.dedup import embedding_lsh_pairs
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    out = embedding_lsh_pairs(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
 
 
 def test_cosine_topk_matches_numpy(spark):
@@ -195,6 +251,26 @@ def test_lsh_probe_buckets_deterministic_and_distinct(spark):
     assert b1 == b2  # seeded → identical on driver and every executor
     assert len(set(b1)) == 3  # each probe is a distinct bucket
     assert all(0 <= b < 16 for b in b1)
+
+
+def test_probe_buckets_multibit_reaches_past_single_flips(spark):
+    """The round-4 multi-probe fix: single-bit flips cap the probe set at
+    bits+1 buckets; the flip-cost ranking must keep producing DISTINCT new
+    buckets beyond that (multi-bit masks), own bucket always first, and a
+    full-probe request must enumerate every bucket exactly once."""
+    from otel_kafka_pg_spark.operators.simsearch import probe_buckets
+
+    q = [0.3, -1.2, 0.7, 0.1, 2.0, -0.5, 0.9, -0.2]
+    twelve = probe_buckets(q, bits=4, seed=42, n_probe=12)
+    assert len(set(twelve)) == 12  # old implementation plateaued at 5
+    assert twelve[0] == probe_buckets(q, bits=4, seed=42, n_probe=1)[0]  # own bucket first
+    assert sorted(probe_buckets(q, bits=4, seed=42, n_probe=16)) == list(range(16))
+    # prefix-stability: n_probe=k is a prefix of n_probe=k+1 (ranking is total)
+    assert twelve[:6] == probe_buckets(q, bits=4, seed=42, n_probe=6)
+    # large-bits path (pair enumeration): still distinct, still cost-ranked
+    q16 = list(np.random.RandomState(3).randn(16))
+    b = probe_buckets(q16, bits=16, seed=42, n_probe=20)
+    assert len(set(b)) == 20 and all(0 <= x < (1 << 16) for x in b)
 
 
 def test_multimodal_features_schema_and_determinism(spark):
