@@ -1065,6 +1065,21 @@ def cc1_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(d, pairs)
 
 
+# cc2 = cc1 with algorithm="star" (alternating large-star/small-star
+# contraction, O(log n) rounds on adversarial chains): SAME recursive-CTE
+# oracle — the two algorithms must produce identical cluster labels.
+EXTRA_REGISTRY["cc2_dedup_clusters_star"] = (
+    lambda spark, sf_dir: __import__(
+        "otel_kafka_pg_spark.operators.graph", fromlist=["duplicate_clusters"]
+    ).duplicate_clusters(
+        _t(spark, sf_dir, "documents"),
+        minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16),
+        algorithm="star",
+    ),
+    REGISTRY["cc1_dedup_clusters"][1],
+)
+
+
 # DuckDB re-derivation of the md5-based 60-bit SimHash: per-token hash is
 # ('0x' || first 15 hex of md5)::BIGINT; 60 per-bit vote sums; bit set iff
 # votes > 0. Generated SQL (60 columns) — an exact cross-engine oracle for

@@ -63,3 +63,57 @@ def test_keep_set_is_one_per_cluster(spark):
     got = _clusters(spark, [1, 2, 3, 4, 5, 6], [(1, 2), (2, 3), (5, 6)])
     keep = {d for d, rep in got.items() if d == rep}
     assert keep == {1, 4, 5}  # exactly one survivor per component
+
+
+# --- large-star/small-star (algorithm="star") -------------------------------
+
+
+def _star_labels(spark, ids, pairs, max_iter=30, stats=None):
+    out = connected_components(
+        _nodes(spark, ids),
+        _pairs(spark, pairs),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+        algorithm="star",
+        max_iter=max_iter,
+        stats=stats,
+    )
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_star_matches_label_prop_on_mixed_graph(spark):
+    ids = list(range(20))
+    pairs = [(1, 2), (2, 3), (3, 1), (5, 9), (9, 12), (14, 15), (17, 18), (18, 19)]
+    assert _star_labels(spark, ids, pairs) == _clusters(spark, ids, pairs)
+
+
+def test_star_chain_of_1000_converges_in_log_rounds(spark):
+    """The adversarial case the r3 verdict named: a 1000-node path needs
+    ~999 label-propagation rounds but must collapse in O(log n) star
+    rounds — gate at ceil(log2(1000)) + 4 = 14 (measured: far fewer)."""
+    import math
+
+    n = 1000
+    stats = {}
+    got = _star_labels(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)], stats=stats)
+    assert all(got[i] == 0 for i in range(n))
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 4, stats
+
+
+def test_star_singletons_and_empty_edges(spark):
+    assert _star_labels(spark, [3, 7, 11], []) == {3: 3, 7: 7, 11: 11}
+
+
+def test_star_edge_direction_irrelevant(spark):
+    assert _star_labels(spark, [7, 8, 9], [(9, 8), (8, 7)]) == {7: 7, 8: 7, 9: 7}
+
+
+def test_star_duplicate_and_self_edges_tolerated(spark):
+    got = _star_labels(spark, [1, 2, 3], [(1, 2), (2, 1), (2, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_star_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _star_labels(spark, list(range(64)), [(i, i + 1) for i in range(63)], max_iter=1)
