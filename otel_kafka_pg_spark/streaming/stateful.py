@@ -107,6 +107,82 @@ def conversation_state_stream(
     )
 
 
+def _append_once(batch_df: DataFrame, batch_id: int, dest: str) -> bool:
+    """Append a micro-batch to ``dest`` exactly once per (batch_id,
+    content signature) — st1's commit-marker discipline
+    (stream_pipeline.run_stream) carried to the stateful path.
+
+    The stateful output frame has no usable ``inputFiles()`` lineage (the
+    source scan is buried under applyInPandasWithState), so the marker is
+    signed with the batch's CONTENT instead: (row count, order-insensitive
+    xor of xxhash64 rows) — one cheap aggregate over the persisted batch.
+    Replays are deterministic (a replayed batch re-reads the pre-batch
+    state snapshot), so a committed batch re-signs identically and is
+    skipped; a stale marker from a wiped/relocated checkpoint whose batch
+    id collides but whose content differs is reprocessed, never silently
+    dropped. Marker write is atomic (tmp + replace). Returns True iff an
+    append happened."""
+    import hashlib
+    import os
+
+    from ..plans.manifest import content_hash
+
+    rows, h = content_hash(batch_df)
+    sig = hashlib.sha256(f"{rows}:{h}".encode()).hexdigest()
+    marker_dir = os.path.join(dest, "_batches")
+    marker = os.path.join(marker_dir, f"{batch_id}.done")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            content = fh.read().strip()
+        if content == "" or content == sig:  # empty = legacy existence-only
+            return False
+    batch_df.write.mode("append").parquet(dest)
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(sig)
+    os.replace(tmp, marker)
+    return True
+
+
+def run_conversation_state_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    parse_impl: str = "native",
+    max_files_per_trigger: int = 2,
+) -> str:
+    """Durable form of ``conversation_state_stream``: the update stream
+    appends to ``<out_dir>/conv_state`` parquet through ``foreachBatch``
+    with per-batch signed commit markers, so kill-and-resume (checkpoint
+    replay, checkpoint wipe, partial failure between append and marker)
+    never duplicates or drops an update batch — the replay story st1's
+    sink path has, now for the stateful operator. Returns the conv_state
+    directory; collapse it with ``final_conversation_state``."""
+    import os
+
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+    dest = os.path.join(out_dir, "conv_state")
+    updates = conversation_state_stream(spark, input_dir, parse_impl, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()  # two actions: signature aggregate + append
+        try:
+            _append_once(batch_df, batch_id, dest)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        updates.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dest
+
+
 def final_conversation_state(updates: DataFrame) -> DataFrame:
     """Collapse the update stream to each conversation's FINAL state: the
     emission with the highest n_turns (monotone per key, ties impossible —

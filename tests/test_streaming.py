@@ -220,3 +220,84 @@ def test_stateful_conversation_state_matches_batch(spark, stream_input, tmp_path
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def _final_state_from_dir(spark, dest):
+    from otel_kafka_pg_spark.streaming.stateful import final_conversation_state
+
+    return final_conversation_state(spark.read.parquet(dest))
+
+
+def _batch_conv_state(spark, stream_input):
+    from otel_kafka_pg_spark.functions.parse import parse_turns
+    from otel_kafka_pg_spark.operators.route import classify_signal
+
+    return (
+        classify_signal(parse_turns(spark.read.parquet(stream_input), impl="native"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("signal_type") == "trace").cast("long")).alias("n_traces"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def test_stateful_stream_durable_sink_matches_batch(spark, stream_input, tmp_path_factory):
+    """The durable stateful path end-to-end: foreachBatch-appended update
+    rows, collapsed to final state, equal the batch groupBy."""
+    from otel_kafka_pg_spark.streaming.stateful import run_conversation_state_stream
+
+    out = str(tmp_path_factory.mktemp("state_durable"))
+    dest = run_conversation_state_stream(spark, stream_input, out)
+    got = _final_state_from_dir(spark, dest)
+    batch = _batch_conv_state(spark, stream_input)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # the marker directory carries one signed marker per micro-batch
+    markers = os.listdir(os.path.join(dest, "_batches"))
+    assert len(markers) >= 2  # multiple micro-batches actually ran
+    for m in markers:
+        with open(os.path.join(dest, "_batches", m)) as fh:
+            assert len(fh.read().strip()) == 64  # sha256 signature, not empty
+
+
+def test_stateful_stream_kill_and_resume_is_idempotent(spark, stream_input, tmp_path_factory):
+    """The r3 verdict's item 7 gate: wipe the checkpoint (worst-case kill —
+    EVERY batch replays under the same sequential ids) and drain again; the
+    content-signed markers must skip every replayed append, leaving update
+    rows and final state byte-identical."""
+    import shutil
+
+    from otel_kafka_pg_spark.streaming.stateful import run_conversation_state_stream
+
+    out = str(tmp_path_factory.mktemp("state_replay"))
+    dest = run_conversation_state_stream(spark, stream_input, out)
+    before = spark.read.parquet(dest).count()
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    run_conversation_state_stream(spark, stream_input, out)
+    assert spark.read.parquet(dest).count() == before
+    got = _final_state_from_dir(spark, dest)
+    batch = _batch_conv_state(spark, stream_input)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_stream_stale_marker_different_content_reprocessed(spark, stream_input, tmp_path_factory):
+    """A leftover marker whose batch id collides but whose signature doesn't
+    match the replayed batch's content must NOT cause a silent skip (the
+    stale-marker case of the st1 path, carried over)."""
+    from otel_kafka_pg_spark.streaming.stateful import run_conversation_state_stream
+
+    out = str(tmp_path_factory.mktemp("state_stale"))
+    marker_dir = os.path.join(out, "conv_state", "_batches")
+    os.makedirs(marker_dir)
+    with open(os.path.join(marker_dir, "0.done"), "w") as fh:
+        fh.write("sig-of-some-other-run")
+    dest = run_conversation_state_stream(spark, stream_input, out)
+    got = _final_state_from_dir(spark, dest)
+    batch = _batch_conv_state(spark, stream_input)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
