@@ -68,7 +68,11 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
     "dd4x_simhash_fast",
+    "dd5b_embedding_lsh_pairs",
+    "dd5bx_embedding_lsh_pruned",
     "cc1_dedup_clusters",
+    "cc2_dedup_clusters_star",
+    "dp4_corpus_pipeline_end_to_end",
     "t1_text_profile",
     "px1_pii_redaction",
     "pk1_sequence_packing",
@@ -83,6 +87,8 @@ HEADLINE = [
     "e3_ivf_ann_topk",
     "e2x_lsh_ann_reduced_probe",
     "e3x_ivf_ann_reduced_probe",
+    "e2y_lsh_ann_recall_gate",
+    "e3y_ivf_ann_recall_gate",
 ]
 
 

@@ -1454,6 +1454,71 @@ def dp3_corpus_prep_clustered(spark, sf_dir):
 
 
 @register_extra(
+    "dp4_corpus_pipeline_end_to_end",
+    # the WHOLE corpus-assembly pipeline a user would run before training,
+    # as ONE entry (r3 verdict item 8): quality gate → exact dedup →
+    # cluster-resolved near-dup dedup (connected components over LSH
+    # pairs) → per-language stratified quota sample → per-shard sequence
+    # packing. Every stage is an already-oracled operator (t4/dd1/cc1/
+    # sm1/pk1); this pins their COMPOSITION — the handoffs, not the parts.
+    # Benched at sf0.1 (bench HEADLINE) as the documents-scale rehearsal.
+    "WITH RECURSIVE "
+    f"{_QUALITY_SQL_CTE}, "
+    "gated AS (SELECT doc_id, text FROM quality WHERE quality >= 0.5), "
+    "fp AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f "
+    "FROM gated), "
+    "kept AS (SELECT g.doc_id, g.text FROM gated g JOIN "
+    "(SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) s USING (doc_id)), "
+    "shg AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
+    "ELSE [array_to_string(t, ' ')] END AS s FROM "
+    "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
+    "prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM shg a JOIN shg b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6), "
+    "edges AS (SELECT pa AS ea, pb AS eb FROM prs UNION ALL SELECT pb, pa FROM prs), "
+    "reach(node, r) AS (SELECT doc_id, doc_id FROM kept "
+    "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node), "
+    "reps AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(r)), "
+    "samp AS (SELECT doc_id FROM (SELECT r2.doc_id, row_number() OVER "
+    "(PARTITION BY d.lang ORDER BY md5(CAST(r2.doc_id AS VARCHAR)), r2.doc_id) AS rn "
+    "FROM reps r2 JOIN documents d USING (doc_id)) WHERE rn <= 25), "
+    "tok AS (SELECT doc_id, CAST(floor(doc_id / 128) AS BIGINT) AS shard, "
+    "len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents JOIN samp USING (doc_id)), "
+    "cum AS (SELECT shard, doc_id, n_tok, coalesce(sum(n_tok) OVER "
+    "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
+    "FROM tok) "
+    "SELECT shard, CAST(floor(prev / 512) AS BIGINT) AS bin_id, count(*) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM cum GROUP BY 1, 2",
+)
+def dp4_corpus_pipeline_end_to_end(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.corpus import stratified_sample
+    from .operators.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter(tx.quality_score("text") >= 0.5)
+    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    kept = gated.join(survivors, "doc_id")
+    clusters = duplicate_clusters(kept, minhash_lsh_pairs(kept, threshold=0.6))
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
+    samp = stratified_sample(d.join(reps, "doc_id"), per_stratum=25).select("doc_id")
+    tok = d.join(samp, "doc_id").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 128).alias("shard"),
+        tx.token_count("text").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        tok.withColumn("bin_id", F.floor(prev / 512))
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+@register_extra(
     "t5_bpe_token_count",
     # the identical n_bpe expression is driver-covered inside t1's profile
     # oracle, so the standalone entry yields its window slot to st3
