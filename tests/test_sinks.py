@@ -50,6 +50,34 @@ def test_merge_upsert_iceberg_matches_fallback(spark, tmp_path):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
 
+def test_iceberg_create_merge_delete_roundtrip(spark, tmp_path):
+    """Full Iceberg catalog smoke (r3 verdict item 8): create a table, MERGE
+    INTO it, DELETE FROM it, and check the surviving rows — so the day a
+    runtime jar appears on the classpath, the whole row-level-ops path has
+    coverage immediately. Skips cleanly in this jar-less container."""
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark runtime jar not on the classpath in this container")
+    import uuid
+
+    from otel_kafka_pg_spark.plans.sinks import ensure_iceberg_catalog, retention_delete_iceberg
+
+    cat = ensure_iceberg_catalog(spark, str(tmp_path / "wh"))
+    tbl = f"{cat}.db.smoke_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, value double"
+    ).writeTo(tbl).using("iceberg").create()
+    spark.createDataFrame([(2, 99.0), (4, 40.0)], "id int, value double").createOrReplaceTempView(
+        "_smoke_updates"
+    )
+    spark.sql(
+        f"MERGE INTO {tbl} t USING _smoke_updates s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.value = s.value WHEN NOT MATCHED THEN INSERT *"
+    )
+    retention_delete_iceberg(spark, tbl, "value < 30.0")
+    got = {(r["id"], r["value"]) for r in spark.table(tbl).collect()}
+    assert got == {(2, 99.0), (3, 30.0), (4, 40.0)}
+
+
 def test_retention_delete_matches_keepside_filter(spark, tmp_path):
     """The in-place delete (rewrite + atomic swap) must leave exactly the
     rows the pure keep-side filter keeps — row count AND order-insensitive
