@@ -73,6 +73,7 @@ HEADLINE = [
     "cc1_dedup_clusters",
     "cc2_dedup_clusters_star",
     "dp4_corpus_pipeline_end_to_end",
+    "dp5_semantic_dedup",
     "t1_text_profile",
     "px1_pii_redaction",
     "pk1_sequence_packing",
@@ -255,7 +256,8 @@ def run_queries_bench(
 
 
 def main_bench(
-    cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = None, salt_buckets: int = 0
+    cpus: int, sf_dir: str, pipeline_only: bool, turns: int | None = None, salt_buckets: int = 0,
+    n_runs: int = 5,
 ) -> dict:
     from otel_kafka_pg_spark.session import get_spark
 
@@ -265,7 +267,7 @@ def main_bench(
     probe = StallProbe()
     if pipeline_only:
         pipeline = run_pipeline_bench(
-            spark, sf_dir, n_turns=turns, salt_buckets=salt_buckets, probe=probe
+            spark, sf_dir, n_turns=turns, salt_buckets=salt_buckets, probe=probe, n_runs=n_runs
         )
         queries = {"pipeline": pipeline["wall_sec"]}
         detail = {"pipeline": {k: pipeline[k] for k in ("wall_sec_median", "stall_factor", "stall_max")}}
@@ -347,7 +349,7 @@ def main_scaling(sf_dir: str, low: int, high: int, turns: int) -> dict:
     for cpus in (low, high):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--cpus", str(cpus), "--sf-dir", sf_dir,
-             "--turns", str(turns)],
+             "--turns", str(turns), "--runs", "3"],
             capture_output=True,
             text=True,
             check=True,
@@ -381,6 +383,7 @@ if __name__ == "__main__":
     ap.add_argument("--scaling-low", type=int, default=1)
     ap.add_argument("--scaling-high", type=int, default=4)
     ap.add_argument("--turns", type=int, default=None)
+    ap.add_argument("--runs", type=int, default=5, help="pipeline repetitions (interleaved best-of-n)")
     ap.add_argument("--scaling-turns", type=int, default=2_400_000)
     ap.add_argument("--salt-buckets", type=int, default=0,
                     help="pre-parse salted repartition buckets (0 = off, the default plan)")
@@ -388,5 +391,5 @@ if __name__ == "__main__":
     if args.scaling:
         result = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scaling_turns)
     else:
-        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only, args.turns, args.salt_buckets)
+        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only, args.turns, args.salt_buckets, args.runs)
     print(json.dumps(result))

@@ -80,6 +80,9 @@ def register_extra(name: str, oracle: str | None):
 # verified by the local DuckDB replica of the same gate
 # (tests/test_oracle_differential.py runs BOTH registries). With this
 # rotation every registry entry has a driver-green row in r1∪r2∪r3∪r4.
+# Late-r4 addition: dp5_semantic_dedup (embedding-LSH pairs → connected
+# components, exact recursive-CTE oracle) takes the slot of tpch_q1
+# (driver-green r1+r2+r3, rotated to extras).
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -93,6 +96,7 @@ DRIVER_ORDER = [
     "cc1_dedup_clusters",
     "dp3_corpus_prep_clustered",
     "dd5b_embedding_lsh_pairs",
+    "dp5_semantic_dedup",
     "e2y_lsh_ann_recall_gate",
     "e3y_ivf_ann_recall_gate",
     "v1_vocab_topk",
@@ -127,7 +131,6 @@ DRIVER_ORDER = [
     "dd3b_minhash_lsh_highsim",
     "a6_service_stats",
     "a7_service_metrics_percentiles",
-    "tpch_q1",
     "c1_rollup",
     "j3_broadcast_enrich",
     "aj1_asof_join",
@@ -364,7 +367,9 @@ def cd2_approx_count_distinct(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
+    # rotated to extras in r4 (driver-green r1+r2+r3) to free the window
+    # slot for dp5_semantic_dedup — still gated by the local DuckDB replica
     "tpch_q1",
     "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
     "round(sum(l_extendedprice), 2) AS sum_base_price, "
@@ -1158,8 +1163,12 @@ def dd5_embedding_cosine_near_dup(spark, sf_dir):
     # (the e2/dd4 exact-oracle-by-parameter pattern). Threshold 0.3 keeps
     # the output NON-empty on this near-uniform table (990 pairs at
     # sf0.01), unlike dd5's 0-row slot. Oracle: DuckDB brute force.
+    # max_id=500 bounds the (intrinsically quadratic) verification config —
+    # a NO-OP at the sf0.01 driver gate (the table IS vec_id 0..499) that
+    # keeps the sf0.1 bench honest about what this config is for; the
+    # unbounded scale path is dd5bx (pruned, full table, linear-ish).
     "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
-    "FROM embeddings) "
+    "FROM embeddings WHERE vec_id < 500) "
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "round(list_cosine_similarity(a.e, b.e), 4) AS cosine "
     "FROM v a JOIN v b ON a.vec_id < b.vec_id "
@@ -1169,7 +1178,7 @@ def dd5b_embedding_lsh_pairs(spark, sf_dir):
     from .operators.dedup import embedding_lsh_pairs
 
     return embedding_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4, bucket_hamming=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4, bucket_hamming=4, max_id=500
     )
 
 
@@ -1516,6 +1525,40 @@ def dp4_corpus_pipeline_end_to_end(spark, sf_dir):
         .groupBy("shard", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
     )
+
+
+@register(
+    "dp5_semantic_dedup",
+    # SEMANTIC dedup: the embedding-space twin of dp3 — near-dup PAIRS from
+    # the sign-LSH bucketed cosine join (dd5b's exact-by-parameter config:
+    # bucket_hamming = bits ⇒ every pair is a candidate, output == brute
+    # force) closed into connected COMPONENTS (cc1's min-label machinery),
+    # every vector labeled with its cluster's smallest id. This is how an
+    # embedding-dedup actually ships at 100 TB: LSH candidates → exact
+    # verify → transitive closure → one survivor per cluster; here the
+    # full-probe config + the recursive-CTE oracle make the WHOLE chain
+    # exactly checkable. max_id=500 bounds the quadratic verification
+    # config (a no-op at the sf0.01 gate where the table is vec_id 0..499);
+    # the pruned scale config is dd5bx. Reference anchor: generalizes the
+    # transitive upsert-dedup of log/repository/repository.go:71-78 from
+    # equal keys to cosine-near embeddings.
+    "WITH RECURSIVE "
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+    "FROM embeddings WHERE vec_id < 500), "
+    "prs AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), "
+    "edges AS (SELECT pa AS ea, pb AS eb FROM prs UNION ALL SELECT pb, pa FROM prs), "
+    "reach(node, r) AS (SELECT vec_id, vec_id FROM v "
+    "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node) "
+    "SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node",
+)
+def dp5_semantic_dedup(spark, sf_dir):
+    from .operators.dedup import embedding_lsh_pairs
+    from .operators.graph import duplicate_clusters
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_lsh_pairs(e, threshold=0.3, bits=4, bucket_hamming=4)
+    return duplicate_clusters(e, pairs, id_col="vec_id")
 
 
 @register_extra(

@@ -39,15 +39,16 @@ def test_registry_covers_every_survey_category():
     # coverage regression the judge would catch line-by-line. Driver-window
     # families first; cd/sc/u-style extras keep their prefix in the
     # combined registry.
-    driver_prefixes = ["f", "a", "j", "dd", "t", "e", "p", "st", "mm", "dp", "c", "aj", "tpch", "u", "rd", "cc", "v", "ct", "sm", "rw", "pv", "sc"]
+    driver_prefixes = ["f", "a", "j", "dd", "t", "e", "p", "st", "mm", "dp", "c", "aj", "u", "rd", "cc", "v", "ct", "sm", "rw", "pv", "sc"]
     names = list(REGISTRY)
     for p in driver_prefixes:
         assert any(n.startswith(p) and not n[len(p)].isalpha() for n in names if len(n) > len(p)), p
     # families whose every entry is driver-green from r1–r3 rotated wholly
-    # to extras in round 4 (o/s/w/q/r) — still §2-covered in the combined
-    # registry, still locally oracled by test_oracle_differential
+    # to extras in round 4 (o/s/w/q/r, and late-r4 tpch — its slot went to
+    # dp5) — still §2-covered in the combined registry, still locally
+    # oracled by test_oracle_differential
     combined = list(all_queries())
-    for p in ["cd", "ax", "o", "s", "w", "q", "r"]:
+    for p in ["cd", "ax", "o", "s", "w", "q", "r", "tpch"]:
         assert any(n.startswith(p) and not n[len(p)].isalpha() for n in combined if len(n) > len(p)), p
 
 
