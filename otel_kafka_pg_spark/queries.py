@@ -80,15 +80,18 @@ def register_extra(name: str, oracle: str | None):
 # verified by the local DuckDB replica of the same gate
 # (tests/test_oracle_differential.py runs BOTH registries). With this
 # rotation every registry entry has a driver-green row in r1∪r2∪r3∪r4.
-# Late-r4 addition: dp5_semantic_dedup (embedding-LSH pairs → connected
-# components, exact recursive-CTE oracle) takes the slot of tpch_q1
-# (driver-green r1+r2+r3, rotated to extras).
+# Late-r4 additions: dp5_semantic_dedup (embedding-LSH pairs → connected
+# components, exact recursive-CTE oracle) takes the slot of tpch_q1, and
+# st4_stream_dedup (streaming dropDuplicatesWithinWatermark redelivery
+# drill) takes the slot of a6_service_stats — both displaced entries were
+# driver-green r1+r2+r3 and rotate to extras.
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
     "p3_pipeline_sink_counts",
     "st1_stream_ingest_counts",
     "st2_stream_windowed_severity",
+    "st4_stream_dedup",
     "f10_attr_predicate",
     "u2_merge_into",
     "rd1_retention_delete",
@@ -129,7 +132,6 @@ DRIVER_ORDER = [
     "e1b_cosine_topk_pandas",
     "dd1_exact_dedup",
     "dd3b_minhash_lsh_highsim",
-    "a6_service_stats",
     "a7_service_metrics_percentiles",
     "c1_rollup",
     "j3_broadcast_enrich",
@@ -302,7 +304,9 @@ def a5_trace_reassembly(spark, sf_dir):
     return agg.trace_reassembly(_t(spark, sf_dir, "lineitem"))
 
 
-@register(
+@register_extra(
+    # rotated to extras in r4 (driver-green r1+r2+r3) to free the window
+    # slot for st4_stream_dedup — still gated by the local DuckDB replica
     "a6_service_stats",
     "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt, "
     "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS errors, "
@@ -1996,6 +2000,57 @@ def st3_stateful_conversation_state(spark, sf_dir):
         return final_conversation_state(updates)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "st4_stream_dedup",
+    # at-least-once redelivery drill: the stream's source dir holds the base
+    # 6000-turn parquet PLUS a byte-identical redelivered copy of every 7th
+    # turn (~14% duplicate rows). The oracle aggregates the BASE table only
+    # — the entry is green iff dropDuplicatesWithinWatermark drops exactly
+    # the redelivered rows: a missed duplicate inflates n_turns, a
+    # wrongly-dropped legitimate row deflates it, and either breaks the
+    # value hash. Streaming-state discipline in stream_deduped_turns
+    # (streaming/stream_pipeline.py).
+    f"WITH t AS (SELECT * FROM read_parquet('{_PIPE_PARQUET}')) "
+    "SELECT conv_id, count(*) AS n_turns, CAST(min(turn_idx) AS INT) AS first_turn, "
+    "CAST(max(turn_idx) AS INT) AS last_turn FROM t GROUP BY conv_id",
+)
+def st4_stream_dedup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources.synth import load_or_synth_transcripts
+    from .streaming.stream_pipeline import stream_deduped_turns
+
+    src = tempfile.mkdtemp(prefix="st4_src_")
+    out = tempfile.mkdtemp(prefix="st4_out_")
+    base = spark.read.parquet(load_or_synth_transcripts(6000, seed=42))
+    base.repartition(4).write.mode("append").parquet(src)
+    # the redelivery: every 7th turn appended again, byte-identical — the
+    # at-least-once window a Kafka consumer restart would replay
+    base.filter(F.col("turn_idx") % 7 == 0).repartition(2).write.mode("append").parquet(src)
+    try:
+        q = (
+            stream_deduped_turns(spark, src)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out, "rows"))
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(out, "rows"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+    )
 
 
 @register(

@@ -205,3 +205,42 @@ def streaming_severity_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("bucket.start").alias("bucket_start"), "severity", "cnt")
     )
+
+
+def stream_deduped_turns(
+    spark: SparkSession,
+    input_dir: str,
+    watermark_delay: str = "30 days",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming deduplication: at-least-once redelivery → exactly-once row
+    identity, on the stream itself.
+
+    The reference's consumer is at-least-once and leans on Postgres
+    ``ON CONFLICT`` upserts to absorb redelivered records
+    (modules/log/repository/repository.go:41-101); this is the
+    sink-agnostic Structured Streaming equivalent: a deterministic
+    content-derived row id (sha2 over the natural key (conv_id, turn_idx) —
+    the same no-wall-clock recipe as the batch router's IDs) +
+    ``dropDuplicatesWithinWatermark``, which keys the dedup state on the id
+    and EXPIRES state older than the event-time watermark. State is thereby
+    bounded by ``watermark_delay`` × arrival rate instead of growing with
+    the full stream history — choose the delay ≥ the source's maximum
+    redelivery lag (for Kafka: the uncommitted-offset window). A duplicate
+    arriving after its original's state expired would pass through; it is
+    then absorbed by the sink-side MERGE upsert keyed on the same id
+    (plans/sinks.py) — the two layers share one identity scheme.
+
+    Returns the deduplicated streaming frame (caller starts the sink).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    row_id = F.sha2(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
+    return (
+        stream.withColumn("row_id", row_id)
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["row_id"])
+    )

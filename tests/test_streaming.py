@@ -301,3 +301,38 @@ def test_stateful_stream_stale_marker_different_content_reprocessed(spark, strea
     batch = _batch_conv_state(spark, stream_input)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_drops_exactly_the_redelivered_rows(spark, transcripts_path, tmp_path_factory):
+    """At-least-once redelivery drill (st4): a source dir holding the base
+    turns PLUS a byte-identical redelivered subset must stream-dedup back to
+    exactly the base row set — and the control (same drain WITHOUT the
+    dedup) must show the duplicates were really there."""
+    from otel_kafka_pg_spark.streaming.stream_pipeline import stream_deduped_turns
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    base = spark.read.parquet(transcripts_path)
+    n_base = base.count()
+    base.repartition(4).write.mode("append").parquet(src)
+    redelivered = base.filter(F.col("turn_idx") % 5 == 0)
+    n_dup = redelivered.count()
+    assert n_dup > 0
+    redelivered.repartition(2).write.mode("append").parquet(src)
+
+    q = (
+        stream_deduped_turns(spark, src)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out, "rows"))
+        .option("checkpointLocation", os.path.join(out, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(os.path.join(out, "rows"))
+    assert got.count() == n_base  # every duplicate dropped, nothing legitimate lost
+    # exact row-set equality with the base turns (modulo the added row_id)
+    assert got.drop("row_id").exceptAll(base).count() == 0
+    assert base.exceptAll(got.drop("row_id")).count() == 0
+    # control: the raw source really contains the duplicates
+    assert spark.read.parquet(src).count() == n_base + n_dup
