@@ -117,3 +117,33 @@ def test_star_duplicate_and_self_edges_tolerated(spark):
 def test_star_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _star_labels(spark, list(range(64)), [(i, i + 1) for i in range(63)], max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs (sparse, dense, with isolated nodes) against a
+    pure-Python union-find ground truth — BOTH algorithms must reproduce the
+    exact min-id component labeling. Union always attaches the larger root
+    under the smaller, so every root is its component's minimum id."""
+    import random
+
+    for seed, n, m in [(0, 40, 20), (1, 60, 90), (2, 80, 40), (3, 50, 200)]:
+        rng = random.Random(seed)
+        ids = list(range(n))
+        pairs = [(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m)) if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {x: find(x) for x in ids}
+
+        assert _clusters(spark, ids, pairs) == truth, f"label_prop seed={seed}"
+        assert _star_labels(spark, ids, pairs) == truth, f"star seed={seed}"
