@@ -1505,30 +1505,11 @@ def dp3_corpus_prep_clustered(spark, sf_dir):
     "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM cum GROUP BY 1, 2",
 )
 def dp4_corpus_pipeline_end_to_end(spark, sf_dir):
-    from pyspark.sql import Window
+    # ONE definition of the chain, shared with the spark-submit job
+    # (jobs/corpus_prep.py) — see plans/corpus_prep.py
+    from .plans.corpus_prep import corpus_prep_stages
 
-    from .operators.corpus import stratified_sample
-    from .operators.graph import duplicate_clusters
-
-    d = _t(spark, sf_dir, "documents")
-    gated = d.filter(tx.quality_score("text") >= 0.5)
-    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
-    kept = gated.join(survivors, "doc_id")
-    clusters = duplicate_clusters(kept, minhash_lsh_pairs(kept, threshold=0.6))
-    reps = clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
-    samp = stratified_sample(d.join(reps, "doc_id"), per_stratum=25).select("doc_id")
-    tok = d.join(samp, "doc_id").select(
-        "doc_id",
-        F.floor(F.col("doc_id") / 128).alias("shard"),
-        tx.token_count("text").alias("n_tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return (
-        tok.withColumn("bin_id", F.floor(prev / 512))
-        .groupBy("shard", "bin_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
-    )
+    return corpus_prep_stages(spark, _t(spark, sf_dir, "documents"))["packed"]
 
 
 @register(

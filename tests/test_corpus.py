@@ -98,3 +98,34 @@ def test_lang_id_cjk_fallback(spark):
     # the base classifier called these zh docs 'und' — the fallback is additive
     base = {r["doc_id"]: r["lg"] for r in d.select("doc_id", lang_id("text").alias("lg")).collect()}
     assert base[2] == "und" and base[3] == "und"
+
+
+def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
+    """The spark-submit corpus job and the driver-verified dp4 registry
+    entry share ONE chain definition (plans/corpus_prep.py) — the CLI's
+    packed output must equal dp4's frame exactly, and the manifest's
+    stage counts must be internally consistent (monotone keep-sets)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path_factory.mktemp("corpus_job"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "corpus_prep.py"),
+         "--input", os.path.join(sf_dir, "documents.parquet"), "--output", out],
+        capture_output=True, text=True, check=True,
+    )
+    manifest = json.loads(proc.stdout.strip().splitlines()[-1])
+    c = manifest["counts"]
+    assert c["input"] >= c["gated"] >= c["kept"] >= c["reps"] >= c["sample"]
+    assert c["sample"] > 0 and c["packed_bins"] > 0
+
+    from otel_kafka_pg_spark.queries import EXTRA_REGISTRY
+
+    dp4 = EXTRA_REGISTRY["dp4_corpus_pipeline_end_to_end"][0](spark, sf_dir)
+    got = spark.read.parquet(os.path.join(out, "packed"))
+    assert got.count() == dp4.count() == c["packed_bins"]
+    assert got.exceptAll(dp4).count() == 0
+    assert dp4.exceptAll(got).count() == 0
