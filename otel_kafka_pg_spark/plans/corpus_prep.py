@@ -3,10 +3,12 @@ dedup → cluster-resolved near-dup dedup → stratified sample → sequence
 packing.
 
 This is the LLM-training-data pipeline the registry's dp4 entry runs as
-one oracled query, factored out so the spark-submit job
-(``jobs/corpus_prep.py``) and the registry share ONE definition — the
-CLI cannot drift from the driver-verified chain. Stage parameters
-default to dp4's oracle-pinned values.
+one oracled query, factored into per-stage functions so the spark-submit
+job (``jobs/corpus_prep.py``) can persist each stage's keep-set and
+resume any suffix of the chain from disk, while the registry composes
+the same functions end-to-end — the CLI cannot drift from the
+driver-verified chain. Stage parameters default to dp4's oracle-pinned
+values.
 
 Scale shape (unchanged from the per-operator analyses in SURVEY.md):
 every stage is linear — the quality gate and token counts are pure JVM
@@ -14,7 +16,8 @@ expressions; exact dedup is one sha256-fingerprint shuffle; the near-dup
 stage shuffles hashed shingle signatures (never text) into the banded
 LSH join; connected components is diameter-bounded rounds of join +
 min-agg on one key; the sample is a per-stratum window quota; packing
-windows per shard (no global sort).
+windows per shard (no global sort). Stage handoffs are doc_id lists —
+rejoined against the source instead of materializing text copies.
 """
 
 from __future__ import annotations
@@ -28,6 +31,52 @@ from ..operators.dedup import exact_dedup, minhash_lsh_pairs
 from ..operators.graph import duplicate_clusters
 
 
+def quality_gate(docs: DataFrame, quality_min: float = 0.5) -> DataFrame:
+    """Docs passing the heuristic quality score (pure JVM expressions)."""
+    return docs.filter(tx.quality_score("text") >= quality_min)
+
+
+def exact_keep(gated: DataFrame) -> DataFrame:
+    """Gated docs minus exact duplicates (min-id survivor per content
+    fingerprint)."""
+    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    return gated.join(survivors, "doc_id")
+
+
+def near_dup_reps(kept: DataFrame, near_threshold: float = 0.6) -> DataFrame:
+    """One doc_id per near-dup cluster: connected components over the
+    MinHash-LSH pair edges, smallest id survives."""
+    clusters = duplicate_clusters(kept, minhash_lsh_pairs(kept, threshold=near_threshold))
+    return clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
+
+
+def quota_sample(docs: DataFrame, reps: DataFrame, per_stratum: int = 25) -> DataFrame:
+    """Per-``lang`` stratified quota sample of the cluster reps
+    (deterministic md5-rank, RNG-free)."""
+    return stratified_sample(docs.join(reps.select("doc_id"), "doc_id"), per_stratum=per_stratum).select(
+        "doc_id"
+    )
+
+
+def pack_bins(
+    docs: DataFrame, sample: DataFrame, shard_size: int = 128, token_budget: int = 512
+) -> DataFrame:
+    """Per-shard greedy sequence packing of the sampled docs into token
+    budgets: (shard, bin_id, n_docs, total_tokens)."""
+    tok = docs.join(sample.select("doc_id"), "doc_id").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / shard_size).alias("shard"),
+        tx.token_count("text").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        tok.withColumn("bin_id", F.floor(prev / token_budget))
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
 def corpus_prep_stages(
     spark: SparkSession,
     docs: DataFrame,
@@ -37,32 +86,18 @@ def corpus_prep_stages(
     shard_size: int = 128,
     token_budget: int = 512,
 ) -> dict[str, DataFrame]:
-    """Run the chain; return every stage's frame keyed by stage name.
+    """Compose the whole chain; return every stage's frame by name.
 
     ``gated``   docs passing the quality gate (doc_id, text, …)
     ``kept``    gated minus exact duplicates (min-id survivor)
-    ``reps``    one doc_id per near-dup cluster (connected components
-                over MinHash-LSH pair edges, smallest id survives)
+    ``reps``    one doc_id per near-dup cluster
     ``sample``  per-``lang`` stratified quota sample of the reps
-    ``packed``  per-shard greedy sequence-packing bins
+    ``packed``  per-shard sequence-packing bins
                 (shard, bin_id, n_docs, total_tokens)
     """
-    gated = docs.filter(tx.quality_score("text") >= quality_min)
-    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
-    kept = gated.join(survivors, "doc_id")
-    clusters = duplicate_clusters(kept, minhash_lsh_pairs(kept, threshold=near_threshold))
-    reps = clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
-    sample = stratified_sample(docs.join(reps, "doc_id"), per_stratum=per_stratum).select("doc_id")
-    tok = docs.join(sample, "doc_id").select(
-        "doc_id",
-        F.floor(F.col("doc_id") / shard_size).alias("shard"),
-        tx.token_count("text").alias("n_tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    packed = (
-        tok.withColumn("bin_id", F.floor(prev / token_budget))
-        .groupBy("shard", "bin_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
-    )
+    gated = quality_gate(docs, quality_min)
+    kept = exact_keep(gated)
+    reps = near_dup_reps(kept, near_threshold)
+    sample = quota_sample(docs, reps, per_stratum)
+    packed = pack_bins(docs, sample, shard_size, token_budget)
     return {"gated": gated, "kept": kept, "reps": reps, "sample": sample, "packed": packed}

@@ -129,3 +129,21 @@ def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
     assert got.count() == dp4.count() == c["packed_bins"]
     assert got.exceptAll(dp4).count() == 0
     assert dp4.exceptAll(got).count() == 0
+
+    # resume: a second identical run must reuse every stage; after deleting
+    # the tail stages, the prefix is reused and the rebuilt tail is identical
+    import shutil
+
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_prep.py"),
+           "--input", os.path.join(sf_dir, "documents.parquet"), "--output", out]
+    m2 = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m2["resumed_stages"] == ["gated", "kept", "reps", "sample", "packed"]
+    shutil.rmtree(os.path.join(out, "sample"))
+    shutil.rmtree(os.path.join(out, "packed"))
+    m3 = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m3["resumed_stages"] == ["gated", "kept", "reps"]
+    assert m3["counts"] == m2["counts"]
+    rebuilt = spark.read.parquet(os.path.join(out, "packed"))
+    assert rebuilt.exceptAll(dp4).count() == 0 and dp4.exceptAll(rebuilt).count() == 0
