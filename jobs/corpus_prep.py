@@ -72,7 +72,7 @@ def main() -> int:
         spark = get_spark(app_name="corpus_prep")
 
     from otel_kafka_pg_spark.plans import corpus_prep as cp
-    from otel_kafka_pg_spark.plans.manifest import input_fingerprint
+    from otel_kafka_pg_spark.plans.manifest import input_fingerprint, parquet_file_lineage
 
     params = {
         "quality_min": args.quality_min,
@@ -127,6 +127,9 @@ def main() -> int:
 
     counts["packed_bins"] = counts.pop("packed")
     total_tokens = packed.agg({"total_tokens": "sum"}).collect()[0][0]
+    # per-partition lineage from parquet footers (no extra jobs) — the same
+    # discipline as the transcript pipeline's sink manifests
+    lineage = {name: parquet_file_lineage(os.path.join(args.output, name)) for name in STAGES}
     manifest = {
         "input": args.input,
         "fingerprint": fp,
@@ -134,6 +137,7 @@ def main() -> int:
         "counts": {**counts, "packed": counts["packed_bins"]},
         "resumed_stages": resumed,
         "total_tokens": total_tokens,
+        "lineage": lineage,
     }
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, default=str)

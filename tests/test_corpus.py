@@ -121,6 +121,9 @@ def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
     c = manifest["counts"]
     assert c["input"] >= c["gated"] >= c["kept"] >= c["reps"] >= c["sample"]
     assert c["sample"] > 0 and c["packed_bins"] > 0
+    # per-partition lineage (parquet footers) must reconcile with the counts
+    for stage, key in (("sample", "sample"), ("packed", "packed_bins")):
+        assert sum(f["rows"] for f in manifest["lineage"][stage]) == c[key]
 
     from otel_kafka_pg_spark.queries import EXTRA_REGISTRY
 
