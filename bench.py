@@ -115,8 +115,8 @@ class StallProbe:
     window recorded the engine 4× slower than its verified steady state).
 
     A fixed pure-CPU work unit (sha256 chain, no Spark, no IO) is timed at
-    bench start (baseline = min of 5) and again immediately before and after
-    every timed run. ``stall = max(before, after) / baseline`` labels that
+    bench start (baseline = median of 7) and again immediately before and
+    after every timed run. ``stall = max(before, after) / baseline`` labels that
     run's window: ~1.0 = clean host, ≳1.5 = the wall time is contaminated by
     steal and says nothing about the engine. The baseline is the MEDIAN of 7
     spins (a min-of baseline makes every later ordinary sample read ~1.3 —
@@ -278,7 +278,7 @@ def main_bench(
         # grok-UDF twin. "pipeline" = the DEFAULT configuration's number.
         both = run_pipeline_bench(
             spark, sf_dir, n_turns=turns, impls=("native", "pandas"),
-            salt_buckets=salt_buckets, probe=probe,
+            salt_buckets=salt_buckets, probe=probe, n_runs=n_runs,
         )
         queries, detail = run_queries_bench(spark, sf_dir, HEADLINE, probe=probe)
         queries["pipeline"] = both["native"]["wall_sec"]

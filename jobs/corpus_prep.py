@@ -8,14 +8,16 @@ registry's driver-verified dp4 entry, see ``plans/corpus_prep.py``),
 persisting each stage's keep-set as a doc_id list plus the packed bins,
 with a manifest of per-stage row counts for lineage.
 
-Re-running with the same --input/--output **resumes**: stages whose
-output already exists for the same input fingerprint + parameters are
-loaded from disk instead of recomputed, so a job killed after the
-expensive near-dup stage restarts at the sample, not at zero — the same
-checkpoint-manifest discipline as the transcript pipeline
-(plans/pipeline.py). A changed input or parameter set invalidates
-everything downstream (the whole chain: every stage depends on all
-parameters upstream of it, and stage params are all-or-nothing here).
+Re-running with the same --input/--output **resumes**: each stage stamps
+its own ``_stage.json`` sidecar (fingerprint of input + ALL params, row
+count, content hash, per-partition lineage) the moment it commits, so a
+job killed after the expensive near-dup stage restarts at the sample,
+not at zero — resume never depends on the end-of-run manifest, only on
+per-stage stamps. A changed input or parameter set changes the
+fingerprint and invalidates every stamped stage (the whole chain: every
+stage depends on all parameters upstream of it, and stage params are
+all-or-nothing here); a stage dir left by a crashed write has no stamp
+(and no ``_SUCCESS``) and never short-circuits.
 
 Cluster usage::
 
@@ -72,7 +74,7 @@ def main() -> int:
         spark = get_spark(app_name="corpus_prep")
 
     from otel_kafka_pg_spark.plans import corpus_prep as cp
-    from otel_kafka_pg_spark.plans.manifest import input_fingerprint, parquet_file_lineage
+    from otel_kafka_pg_spark.plans.manifest import input_fingerprint, write_with_summary
 
     params = {
         "quality_min": args.quality_min,
@@ -83,33 +85,47 @@ def main() -> int:
     }
     fp = f"{input_fingerprint(args.input)}::{json.dumps(params, sort_keys=True)}"
     manifest_path = os.path.join(args.output, "manifest.json")
-    prior = {}
-    if not args.no_resume and os.path.exists(manifest_path):
-        with open(manifest_path) as fh:
-            existing = json.load(fh)
-        if existing.get("fingerprint") == fp:
-            prior = existing.get("counts", {})
+    os.makedirs(args.output, exist_ok=True)
 
     docs = spark.read.parquet(args.input)
     counts: dict[str, int] = {"input": docs.count()}
+    lineage: dict[str, list] = {}
     resumed: list[str] = []
 
     def load_or_build(name: str, build):
-        """Reuse a stage output iff the manifest recorded it for THIS
-        fingerprint and the directory committed (_SUCCESS) — a stage dir
-        from a crashed write or a different run never short-circuits."""
+        """Reuse a stage output iff its own ``_stage.json`` stamp matches
+        THIS fingerprint and the directory committed (``_SUCCESS``). The
+        stamp is written only after the parquet commit, and the overwrite
+        wipes any stale stamp first — so a dir from a crashed write or a
+        different-parameter run never short-circuits, even when that other
+        run died before writing any manifest."""
         dest = os.path.join(args.output, name)
-        if name in prior and os.path.exists(os.path.join(dest, "_SUCCESS")):
-            resumed.append(name)
-            counts[name] = prior[name]
-            return spark.read.parquet(dest)
+        stamp_path = os.path.join(dest, "_stage.json")
+        if (
+            not args.no_resume
+            and os.path.exists(stamp_path)
+            and os.path.exists(os.path.join(dest, "_SUCCESS"))
+        ):
+            with open(stamp_path) as fh:
+                stamp = json.load(fh)
+            if stamp.get("fingerprint") == fp:
+                resumed.append(name)
+                counts[name] = stamp["rows"]
+                lineage[name] = stamp["lineage"]
+                return spark.read.parquet(dest)
         frame = build()
         if name != "packed":
             frame = frame.select("doc_id")
-        frame.write.mode("overwrite").parquet(dest)
-        out = spark.read.parquet(dest)
-        counts[name] = out.count()
-        return out
+        # rows + content hash + per-partition lineage ride the write job
+        # itself (observe + parquet footers) — no re-scan per stage
+        rows, chash, lin = write_with_summary(frame, dest)
+        counts[name] = rows
+        lineage[name] = lin
+        with open(stamp_path, "w") as fh:
+            json.dump(
+                {"fingerprint": fp, "rows": rows, "content_hash": chash, "lineage": lin}, fh
+            )
+        return spark.read.parquet(dest)
 
     gated_ids = load_or_build("gated", lambda: cp.quality_gate(docs, args.quality_min))
     # stage handoffs are id lists; rejoin the source for stages that need text
@@ -127,9 +143,6 @@ def main() -> int:
 
     counts["packed_bins"] = counts.pop("packed")
     total_tokens = packed.agg({"total_tokens": "sum"}).collect()[0][0]
-    # per-partition lineage from parquet footers (no extra jobs) — the same
-    # discipline as the transcript pipeline's sink manifests
-    lineage = {name: parquet_file_lineage(os.path.join(args.output, name)) for name in STAGES}
     manifest = {
         "input": args.input,
         "fingerprint": fp,

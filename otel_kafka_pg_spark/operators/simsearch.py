@@ -155,8 +155,13 @@ def probe_buckets(query: list[float], bits: int, seed: int, n_probe: int) -> lis
     choice" pattern), still exercising the bucketize/probe machinery.
 
     Enumeration cost: all ``2**bits`` masks are ranked for bits ≤ 12; above
-    that only single- and double-flip masks are (``O(bits²)``), which
-    already yields far more probes than any sane n_probe."""
+    that, flip masks are enumerated by increasing flip count
+    (``itertools.combinations``) until the candidate pool exceeds n_probe —
+    so the function ALWAYS returns exactly n_probe distinct buckets (never
+    silently fewer; the pre-fix form capped the pool at O(bits²) and a
+    large n_probe silently under-probed). Ranking within the generated pool
+    is by summed margin; a >r-flip mask cheaper than some r-flip mask can
+    in principle be missed, a standard multi-probe approximation."""
     if n_probe >= (1 << bits):
         return list(range(1 << bits))
     planes = np.random.RandomState(seed).randn(len(query), bits)
@@ -164,11 +169,15 @@ def probe_buckets(query: list[float], bits: int, seed: int, n_probe: int) -> lis
     qbucket = int((proj > 0) @ (1 << np.arange(bits)))
     margins = np.abs(proj)
     if bits <= 12:
-        masks = range(1 << bits)
+        masks: list[int] = list(range(1 << bits))
     else:
-        masks = [0] + [1 << i for i in range(bits)] + [
-            (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
-        ]
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, bits + 1):
+            if len(masks) > n_probe:
+                break
+            masks.extend(sum(1 << i for i in idxs) for idxs in combinations(range(bits), r))
     ranked = sorted(masks, key=lambda m: (sum(margins[i] for i in range(bits) if m >> i & 1), m))
     return [qbucket ^ m for m in ranked[:n_probe]]
 

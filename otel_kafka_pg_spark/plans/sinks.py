@@ -221,7 +221,13 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     """
     from .manifest import parquet_file_lineage
 
-    if "://" in path and not path.startswith("file://"):
+    if path.startswith("file://"):
+        # normalize the URI form to the plain path the os/shutil calls below
+        # operate on (file://host/p is not supported, only file:///p)
+        path = path[len("file://"):]
+        if not path.startswith("/"):
+            raise ValueError(f"unsupported file:// URI with authority: {path!r}")
+    if "://" in path:
         raise ValueError(
             f"compact_sink requires a local path (got {path!r}): the atomic "
             "directory-rename swap does not exist on object stores — use the "

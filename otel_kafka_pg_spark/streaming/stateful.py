@@ -108,9 +108,14 @@ def conversation_state_stream(
 
 
 def _append_once(batch_df: DataFrame, batch_id: int, dest: str) -> bool:
-    """Append a micro-batch to ``dest`` exactly once per (batch_id,
+    """Write a micro-batch under ``dest`` exactly once per (batch_id,
     content signature) — st1's commit-marker discipline
-    (stream_pipeline.run_stream) carried to the stateful path.
+    (stream_pipeline.run_stream) carried to the stateful path, with one
+    strengthening: each batch lands in its OWN ``batch=<id>`` partition
+    directory via mode("overwrite"), so a crash between the data commit
+    and the marker write replays into an overwrite of the same directory
+    — idempotent by construction, closing the one-filesystem-call window
+    the flat-append form (and st1's sink path) honestly documents.
 
     The stateful output frame has no usable ``inputFiles()`` lineage (the
     source scan is buried under applyInPandasWithState), so the marker is
@@ -118,10 +123,15 @@ def _append_once(batch_df: DataFrame, batch_id: int, dest: str) -> bool:
     xor of xxhash64 rows) — one cheap aggregate over the persisted batch.
     Replays are deterministic (a replayed batch re-reads the pre-batch
     state snapshot), so a committed batch re-signs identically and is
-    skipped; a stale marker from a wiped/relocated checkpoint whose batch
-    id collides but whose content differs is reprocessed, never silently
-    dropped. Marker write is atomic (tmp + replace). Returns True iff an
-    append happened."""
+    skipped without touching the data; a stale marker from a wiped/
+    relocated checkpoint whose batch id collides but whose content differs
+    is reprocessed — the overwrite then REPLACES the stale directory
+    rather than appending beside it. (Caveat unchanged from the flat
+    form: a wiped checkpoint replayed under a different batching config
+    re-slices rows across batch ids; replay idempotence assumes the same
+    trigger/source config, which availableNow + a deterministic file
+    source gives.) Marker write is atomic (tmp + replace). Returns True
+    iff data was (re)written."""
     import hashlib
     import os
 
@@ -136,13 +146,20 @@ def _append_once(batch_df: DataFrame, batch_id: int, dest: str) -> bool:
             content = fh.read().strip()
         if content == "" or content == sig:  # empty = legacy existence-only
             return False
-    batch_df.write.mode("append").parquet(dest)
+    batch_df.write.mode("overwrite").parquet(os.path.join(dest, f"batch={batch_id}"))
     os.makedirs(marker_dir, exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(sig)
     os.replace(tmp, marker)
     return True
+
+
+def read_state_updates(spark, dest: str) -> DataFrame:
+    """Read the durable update rows written by
+    ``run_conversation_state_stream`` — the ``batch=<id>`` partition
+    column is commit bookkeeping, not data, and is dropped."""
+    return spark.read.parquet(dest).drop("batch")
 
 
 def run_conversation_state_stream(

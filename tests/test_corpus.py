@@ -150,3 +150,26 @@ def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
     assert m3["counts"] == m2["counts"]
     rebuilt = spark.read.parquet(os.path.join(out, "packed"))
     assert rebuilt.exceptAll(dp4).count() == 0 and dp4.exceptAll(rebuilt).count() == 0
+
+    # kill-mid-job resume: the end-of-run manifest is NOT what resume reads —
+    # deleting it (a job killed before the manifest write) must still reuse
+    # every stamped stage
+    os.remove(os.path.join(out, "manifest.json"))
+    m4 = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m4["resumed_stages"] == ["gated", "kept", "reps", "sample", "packed"]
+    assert m4["counts"] == m2["counts"]
+
+    # parameter-change invalidation: a run with different params must not
+    # reuse any stage stamped under the old fingerprint — and a subsequent
+    # run with the ORIGINAL params must not reuse the changed run's outputs
+    # (stage dirs are stamped per-fingerprint, not trusted by existence)
+    cmd_changed = cmd + ["--per-stratum", "7"]
+    m5 = json.loads(subprocess.run(cmd_changed, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m5["resumed_stages"] == []
+    assert m5["counts"]["sample"] < m2["counts"]["sample"]
+    m6 = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m6["resumed_stages"] == []
+    assert m6["counts"] == m2["counts"]

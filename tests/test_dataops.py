@@ -271,6 +271,11 @@ def test_probe_buckets_multibit_reaches_past_single_flips(spark):
     q16 = list(np.random.RandomState(3).randn(16))
     b = probe_buckets(q16, bits=16, seed=42, n_probe=20)
     assert len(set(b)) == 20 and all(0 <= x < (1 << 16) for x in b)
+    # large-bits + n_probe beyond the 1+bits+C(bits,2) pair pool: the
+    # enumeration must extend to higher flip orders and return exactly
+    # n_probe distinct buckets (the pre-fix form silently returned 137)
+    big = probe_buckets(q16, bits=16, seed=42, n_probe=500)
+    assert len(big) == 500 and len(set(big)) == 500
 
 
 def test_multimodal_features_schema_and_determinism(spark):

@@ -223,9 +223,12 @@ def test_stateful_conversation_state_matches_batch(spark, stream_input, tmp_path
 
 
 def _final_state_from_dir(spark, dest):
-    from otel_kafka_pg_spark.streaming.stateful import final_conversation_state
+    from otel_kafka_pg_spark.streaming.stateful import (
+        final_conversation_state,
+        read_state_updates,
+    )
 
-    return final_conversation_state(spark.read.parquet(dest))
+    return final_conversation_state(read_state_updates(spark, dest))
 
 
 def _batch_conv_state(spark, stream_input):
@@ -279,6 +282,38 @@ def test_stateful_stream_kill_and_resume_is_idempotent(spark, stream_input, tmp_
     shutil.rmtree(os.path.join(out, "_checkpoint"))
     run_conversation_state_stream(spark, stream_input, out)
     assert spark.read.parquet(dest).count() == before
+    got = _final_state_from_dir(spark, dest)
+    batch = _batch_conv_state(spark, stream_input)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_stream_crash_between_data_and_marker_no_duplicates(
+    spark, stream_input, tmp_path_factory
+):
+    """The exact window the flat-append form leaves open: data committed,
+    process dies BEFORE the marker write. Simulated by deleting one
+    batch's marker (its batch=<id> data dir stays) and forcing a full
+    replay (checkpoint wipe). The replayed batch must overwrite its own
+    directory — row set identical, no duplicate update rows."""
+    import shutil
+
+    from otel_kafka_pg_spark.streaming.stateful import (
+        read_state_updates,
+        run_conversation_state_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("state_crash_window"))
+    dest = run_conversation_state_stream(spark, stream_input, out)
+    # materialize (frames are lazy over files the replay rewrites)
+    before_rows = sorted(map(tuple, read_state_updates(spark, dest).collect()))
+    markers = sorted(os.listdir(os.path.join(dest, "_batches")))
+    assert len(markers) >= 2
+    os.remove(os.path.join(dest, "_batches", markers[-1]))  # crashed pre-marker
+    shutil.rmtree(os.path.join(out, "_checkpoint"))  # worst case: all replay
+    run_conversation_state_stream(spark, stream_input, out)
+    after = read_state_updates(spark, dest)
+    assert sorted(map(tuple, after.collect())) == before_rows
     got = _final_state_from_dir(spark, dest)
     batch = _batch_conv_state(spark, stream_input)
     assert got.exceptAll(batch).count() == 0
