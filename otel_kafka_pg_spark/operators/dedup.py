@@ -202,7 +202,9 @@ def embedding_cosine_pairs(
     cross join — quadratic in the table. Inputs beyond ~10⁴ rows raise
     (pass ``allow_unbounded=True`` to override knowingly); the check is a
     capped ``limit(N+1).count()``, cheap relative to the n² that follows."""
-    base = df
+    from .simsearch import drop_null_vectors
+
+    base = drop_null_vectors(df, vec_col)
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
     elif not allow_unbounded:
@@ -265,9 +267,9 @@ def embedding_lsh_pairs(
     brute force exactly while the bucketize → explode → bucket-join → verify
     machinery still executes — the verification configuration (the e2/dd4
     exact-oracle-by-parameter pattern)."""
-    from .simsearch import make_bucketizer
+    from .simsearch import drop_null_vectors, make_bucketizer
 
-    base = df
+    base = drop_null_vectors(df, vec_col)
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
     head = base.select(vec_col).head()

@@ -33,8 +33,19 @@ def _cosine(vec_col, query: list[float]):
     return dot / (nv * F.lit(nq))
 
 
+def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """A NULL vector cannot participate in similarity: it is not a
+    candidate, not a neighbor, not a near-dup of anything. Every vector
+    operator filters them at entry — the JVM cosine would yield NULL rows,
+    and the Arrow twins would crash ``np.stack``-ing a batch holding None
+    (real 100 TB corpora have unembedded rows; the operators must not).
+    Imputation/flagging policy belongs upstream of these operators."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k; deterministic tiebreak on id."""
+    df = drop_null_vectors(df, vec_col)
     return (
         df.select(F.col(id_col), F.round(_cosine(F.col(vec_col), query), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -50,6 +61,7 @@ def cosine_topk_pandas(
     10^9-vector scale is memory bandwidth, not expression interpretation
     (the JVM zip_with/aggregate form evaluates a lambda per element). Same
     ordering/rounding as cosine_topk; top-k is still TakeOrdered."""
+    df = drop_null_vectors(df, vec_col)
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
 
@@ -88,7 +100,7 @@ def fit_ivf_centroids(df: DataFrame, k: int = 8, sample: int = 1024, iters: int 
     sample, then broadcast). Deterministic: seeded sample, seeded init.
     Driver memory is bounded by ``sample`` rows regardless of table size."""
     rows = (
-        df.select(vec_col)
+        drop_null_vectors(df, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
         .limit(sample)
         .collect()
@@ -139,7 +151,7 @@ def ivf_topk(
     q = np.asarray(query, dtype=np.float64)
     qd = ((q[None, :] - cents) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(qd)[:n_probe]]
-    celled = df.withColumn("_cell", cell_of(F.col(vec_col)))
+    celled = drop_null_vectors(df, vec_col).withColumn("_cell", cell_of(F.col(vec_col)))
     return cosine_topk(celled.filter(F.col("_cell").isin(probe)), query, k, vec_col, id_col)
 
 
@@ -206,5 +218,5 @@ def lsh_bucket_topk(
     brute force asserted at a fixed seed in tests)."""
     bucketize = make_bucketizer(len(query), bits, seed)
     buckets = probe_buckets(query, bits, seed, n_probe)
-    bucketed = df.withColumn("_bucket", bucketize(F.col(vec_col)))
+    bucketed = drop_null_vectors(df, vec_col).withColumn("_bucket", bucketize(F.col(vec_col)))
     return cosine_topk(bucketed.filter(F.col("_bucket").isin(buckets)), query, k, vec_col, id_col)
