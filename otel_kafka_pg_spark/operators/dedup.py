@@ -73,9 +73,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int | None = None,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     shingle Jaccard.
+
+    ``max_bucket`` is the hot-bucket (boilerplate-skew) guard: a band
+    bucket with B members generates B² candidate pairs, and real corpora
+    concentrate boilerplate (templates, empty docs, license headers) into
+    a few mega-buckets — the classic quadratic killer of LSH self-joins at
+    scale. Buckets larger than ``max_bucket`` are excluded from candidate
+    generation (one count-aggregate + semi-join on the SAME key as the
+    self-join, so no extra partitioning). Recall trade, stated: a pair
+    whose every shared bucket is capped is missed — but members of a
+    mega-bucket are near-identical by construction, which is exactly the
+    mass upstream EXACT dedup (dd1, always first in the dp chains)
+    collapses; run exact dedup before near-dup and the cap costs ~nothing.
+    Default None preserves exact banded-LSH semantics (the oracle config).
 
     ``bands=None`` (default) sizes BOTH num_hashes and bands from the
     threshold for ≥0.95 candidate recall at s=threshold (_auto_config —
@@ -133,6 +147,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok, ["band", "bh"])
 
     cand = (
         banded.alias("a")
@@ -243,9 +265,12 @@ def embedding_lsh_pairs(
     seed: int = 42,
     bucket_hamming: int = 1,
     max_id: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sign-LSH-bucketed embedding near-dup pairs — the 100 TB path that
-    ``embedding_cosine_pairs`` verifies.
+    ``embedding_cosine_pairs`` verifies. ``max_bucket`` = the hot-bucket
+    guard (docs in sign-buckets larger than this are excluded from
+    candidate generation; see the inline comment and minhash_lsh_pairs).
 
     Candidate pairs are pairs whose sign-LSH bucket ids (``bits`` seeded
     random hyperplanes, simsearch.make_bucketizer) differ in at most
@@ -287,6 +312,18 @@ def embedding_lsh_pairs(
     r = min(bucket_hamming, bits)
     masks = [m for m in range(1 << bits) if bin(m).count("1") <= r]
     ids = v.select("id", "_b")
+    if max_bucket is not None:
+        # hot-bucket guard: docs whose sign-bucket holds > max_bucket members
+        # do not participate in candidate generation at all (either side) —
+        # mega-buckets are near-identical boilerplate mass, the quadratic
+        # killer; see minhash_lsh_pairs for the recall trade and remedy
+        ok = (
+            ids.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket)
+            .select("_b")
+        )
+        ids = ids.join(ok, "_b")
     probes = ids.select(
         F.col("id").alias("id_a"),
         F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])).alias("_pb"),
@@ -358,7 +395,9 @@ def _block_specs(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_blocks)]
 
 
-def near_pairs_from_simhash(sh: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+def near_pairs_from_simhash(
+    sh: DataFrame, bits: int, max_hamming: int, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs from a (id, simhash) frame via block-equality LSH,
     verified by exact popcount Hamming distance.
 
@@ -368,7 +407,14 @@ def near_pairs_from_simhash(sh: DataFrame, bits: int, max_hamming: int) -> DataF
     the configured threshold for ANY max_hamming < bits (round 1 hardcoded
     4×16-bit blocks, which only guarantees hamming ≤ 3; calls at
     max_hamming=8 silently missed pairs whose 4-8 flipped bits spread
-    2-per-block)."""
+    2-per-block).
+
+    ``max_bucket``: hot-block guard — identical-simhash mega-groups
+    (boilerplate; every member shares EVERY block) generate B² candidates
+    per block; block values held by more than ``max_bucket`` docs are
+    excluded from candidate generation. Same recall trade and same
+    run-exact-dedup-first remedy as minhash_lsh_pairs; None (default)
+    keeps the exact pigeonhole recall the oracle entries rely on."""
     n_blocks = max_hamming + 1
     if n_blocks > bits:
         raise ValueError(f"max_hamming={max_hamming} needs {n_blocks} blocks > {bits} bits")
@@ -388,6 +434,14 @@ def near_pairs_from_simhash(sh: DataFrame, bits: int, max_hamming: int) -> DataF
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.blk", "bk.bv")
+    if max_bucket is not None:
+        ok = (
+            blocks.groupBy("blk", "bv")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket)
+            .select("blk", "bv")
+        )
+        blocks = blocks.join(ok, ["blk", "bv"])
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # order matters at scale: the Hamming verify is a cheap join-side
@@ -409,15 +463,17 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     variant: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block-equality candidate join (block count
     derived from the threshold — see near_pairs_from_simhash) + exact
     Hamming verify. ``variant='md5'`` uses the 60-bit md5 simhash, which is
     bit-for-bit reproducible in DuckDB so the whole operator (hash → bit
     votes → candidate join → Hamming filter) gets an exact cross-engine
-    oracle; ``'xxhash64'`` is the faster default for production use."""
+    oracle; ``'xxhash64'`` is the faster default for production use.
+    ``max_bucket`` = the hot-block guard (see near_pairs_from_simhash)."""
     if variant == "md5":
         sh, bits = simhash_md5(df, text_col, id_col), 60
     else:
         sh, bits = simhash(df, text_col, id_col), 64
-    return near_pairs_from_simhash(sh, bits, max_hamming)
+    return near_pairs_from_simhash(sh, bits, max_hamming, max_bucket=max_bucket)

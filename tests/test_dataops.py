@@ -430,3 +430,65 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark):
             assert g is None, rid
         else:
             assert g == pytest.approx(v), rid
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket (boilerplate-skew) guard: max_bucket on the three LSH self-joins
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_corpus(spark):
+    """200 byte-identical boilerplate docs (every LSH bucket they touch is a
+    mega-bucket) + one planted near-dup pair of distinct prose + one loner."""
+    boiler = [(i, "this website uses cookies to improve your experience accept all") for i in range(200)]
+    pair = [
+        (900, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (901, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    loner = [(950, "completely unrelated text about astrophysics and neutron stars")]
+    return spark.createDataFrame(boiler + pair + loner, "doc_id int, text string")
+
+
+def test_minhash_max_bucket_skips_boilerplate_keeps_planted_pair(spark):
+    docs = _boilerplate_corpus(spark)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              minhash_lsh_pairs(docs, threshold=0.5, max_bucket=50).collect()}
+    assert (900, 901) in capped                       # real near-dup survives
+    assert not any(a < 200 and b < 200 for a, b in capped)  # no quadratic mass
+    # uncapped control: the boilerplate block IS quadratic (199·200/2 pairs)
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert uncapped >= 199 * 200 // 2
+
+
+def test_simhash_max_bucket_skips_boilerplate_keeps_planted_pair(spark):
+    docs = _boilerplate_corpus(spark)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              simhash_near_pairs(docs, max_hamming=8, max_bucket=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+    uncapped = simhash_near_pairs(docs, max_hamming=8).count()
+    assert uncapped >= 199 * 200 // 2
+
+
+def test_embedding_lsh_max_bucket_skips_hot_sign_bucket(spark):
+    from otel_kafka_pg_spark.operators.dedup import embedding_lsh_pairs
+
+    # 150 identical vectors (one sign-bucket) + a planted near-pair elsewhere
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    hot = [(i, [float(x) for x in base]) for i in range(150)]
+    v1 = rng.randn(8)
+    v2 = v1 + 0.01 * rng.randn(8)
+    if float(np.dot(v1, base)) > 0:  # keep the pair out of the hot bucket's halfspace mix
+        v1, v2 = -v1, -v2
+    pair = [(900, [float(x) for x in v1]), (901, [float(x) for x in v2])]
+    df = spark.createDataFrame(hot + pair, "vec_id int, embedding array<double>")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              embedding_lsh_pairs(df, threshold=0.99, bits=4, bucket_hamming=0,
+                                  max_bucket=50).collect()}
+    assert not any(a < 150 and b < 150 for a, b in capped)
+    assert (900, 901) in capped
+    uncapped = embedding_lsh_pairs(df, threshold=0.99, bits=4, bucket_hamming=0).count()
+    assert uncapped >= 149 * 150 // 2
