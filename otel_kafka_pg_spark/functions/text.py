@@ -102,6 +102,102 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Table A1) — the standard repetition filters of LLM training-data prep.
+# All pure JVM expressions, embarrassingly parallel per row, zero shuffle;
+# the one signal that needs an aggregation (top n-gram char fraction) lives
+# in queries.t8 as a (doc_id, gram)-keyed groupBy.
+# Reference-parity note: the reference repo (otel-kafka-pg) has no corpus
+# layer at all; these extend the engine's training-data surface the same
+# way dedup/ANN do.
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(col: Column | str) -> Column:
+    """Newline split — the line unit of the Gopher repetition signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, "\n")
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """(n_lines - n_distinct_lines) / n_lines — the fraction of line slots
+    occupied by repeats of an earlier line. Two array scans per row."""
+    lines = doc_lines(col)
+    n = F.size(lines)
+    return (n - F.size(F.array_distinct(lines))) / F.greatest(n, F.lit(1))
+
+
+def duplicate_line_char_fraction(col: Column | str) -> Column:
+    """Characters in repeated line occurrences (beyond each line's first)
+    over total line characters. O(distinct_lines × lines) per document —
+    quadratic ONLY within one row's line list (documents have bounded line
+    counts; no cross-row work, no shuffle)."""
+    lines = doc_lines(col)
+    dup_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(lines),
+            lambda d: (F.size(F.filter(lines, lambda x: x == d)) - 1) * F.length(d),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        F.transform(lines, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return dup_chars / F.greatest(total, F.lit(1))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(count('#') + count('...')) / n_words — Gopher's symbol-to-word
+    ratio. '...' occurrences are leftmost non-overlapping in BOTH Java
+    regex and DuckDB RE2, so the signal is exactly cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    ellipses = F.regexp_count(c, F.lit(r"\.\.\."))
+    return (hashes + ellipses) / F.greatest(token_count(c), F.lit(1))
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    lines = doc_lines(col)
+    hits = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    return hits / F.greatest(F.size(lines), F.lit(1))
+
+
+def ellipsis_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines ending in '...' (ignoring trailing whitespace)."""
+    lines = doc_lines(col)
+    hits = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    return hits / F.greatest(F.size(lines), F.lit(1))
+
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of whitespace words containing ≥1 ASCII letter."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean whitespace-word length in characters."""
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def word_2grams_all(col: Column | str) -> Column:
+    """ALL word 2-gram occurrences (NOT distinct — unlike word_shingles,
+    frequency matters here: the top-n-gram signal needs the mode). Linear
+    per document via the _gram_structs slice-zip shape; empty array for
+    docs with < 2 words (no 2-gram exists — t8 coalesces to 0.0)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(_gram_structs(toks, 2, n), lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
 def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -> Column:
     """Winnowing twin whose k-gram hash is the first 15 hex chars of
     md5(gram) as a 60-bit long — bit-for-bit reproducible OUTSIDE Spark

@@ -84,7 +84,10 @@ def register_extra(name: str, oracle: str | None):
 # components, exact recursive-CTE oracle) takes the slot of tpch_q1, and
 # st4_stream_dedup (streaming dropDuplicatesWithinWatermark redelivery
 # drill) takes the slot of a6_service_stats — both displaced entries were
-# driver-green r1+r2+r3 and rotate to extras.
+# driver-green r1+r2+r3 and rotate to extras. Final late-r4 swap: the
+# Gopher repetition/quality filters t7/t8 take the slots of
+# dd4b_simhash_md5_values and t1_token_stats (each an exact twin of an
+# in-window entry — dd4 and t1_text_profile — and driver-green in r3).
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -123,8 +126,8 @@ DRIVER_ORDER = [
     "c3_cached_result_reuse",
     "pk1_sequence_packing",
     "px1_pii_redaction",
-    "dd4b_simhash_md5_values",
-    "t1_token_stats",
+    "t7_repetition_signals",
+    "t8_gopher_quality_filter",
     "t2_lang_id",
     "t3_fingerprint",
     "t4_quality_score",
@@ -1128,7 +1131,7 @@ def dd4_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8, variant="md5")
 
 
-@register(
+@register_extra(
     "dd4b_simhash_md5_values",
     "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
     "FROM documents), "
@@ -1241,7 +1244,7 @@ def t1_text_profile(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "t1_token_stats",
     "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
     "SELECT doc_id, len(t) AS n_tokens, "
@@ -1352,6 +1355,147 @@ _QUALITY_SQL_CTE = (
 )
 def t4_quality_score(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+# Gopher repetition/quality signals (Rae et al. 2021, Table A1) — the
+# standard LLM training-data repetition filters. t7 = the per-document
+# signal vector (pure JVM expressions, zero shuffle); t8 adds the one
+# signal needing aggregation (top-2-gram char fraction: explode →
+# (doc_id, gram) groupBy → per-doc struct-max — all keyed on doc_id, so
+# at 100 TB this is one well-distributed shuffle, no skew beyond document
+# count) and the composite pass verdict at Gopher's published thresholds.
+_T7_SIGNALS_SQL_CTE = (
+    "base AS (SELECT doc_id, text, string_split(text, chr(10)) AS l, "
+    "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+    "sig AS (SELECT doc_id, text, length(text) AS n_chars, len(t) AS n_words, t, "
+    "(len(l) - len(list_distinct(l))) / greatest(len(l), 1) AS dup_line_frac, "
+    "coalesce(list_sum(list_transform(list_distinct(l), "
+    "d -> (len(list_filter(l, x -> x = d)) - 1) * length(d))), 0) "
+    "/ greatest(coalesce(list_sum(list_transform(l, x -> length(x))), 0), 1) AS dup_line_char_frac, "
+    "(length(text) - length(replace(text, '#', '')) "
+    "+ len(regexp_extract_all(text, '\\.\\.\\.'))) / greatest(len(t), 1) AS symbol_word_ratio, "
+    "len(list_filter(l, x -> regexp_matches(x, '^\\s*[-*•]'))) / greatest(len(l), 1) AS bullet_line_frac, "
+    "len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) / greatest(len(l), 1) AS ellipsis_line_frac, "
+    "len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(t), 1) AS alpha_word_frac, "
+    "coalesce(list_sum(list_transform(t, x -> length(x))), 0) / greatest(len(t), 1) AS mean_word_len "
+    "FROM base)"
+)
+
+
+@register(
+    "t7_repetition_signals",
+    f"WITH {_T7_SIGNALS_SQL_CTE} "
+    "SELECT doc_id, n_words, round(dup_line_frac, 4) AS dup_line_frac, "
+    "round(dup_line_char_frac, 4) AS dup_line_char_frac, "
+    "round(symbol_word_ratio, 4) AS symbol_word_ratio, "
+    "round(bullet_line_frac, 4) AS bullet_line_frac, "
+    "round(ellipsis_line_frac, 4) AS ellipsis_line_frac, "
+    "round(alpha_word_frac, 4) AS alpha_word_frac, "
+    "round(mean_word_len, 4) AS mean_word_len FROM sig",
+)
+def t7_repetition_signals(spark, sf_dir):
+    """Gopher Table-A1 repetition/quality signals per document. Every
+    signal is a pure ``pyspark.sql.functions`` expression over the row's
+    own text — whole-stage codegen, embarrassingly parallel, zero shuffle
+    (the scan → project plan survives any scale)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count("text").alias("n_words"),
+        F.round(tx.duplicate_line_fraction("text"), 4).alias("dup_line_frac"),
+        F.round(tx.duplicate_line_char_fraction("text"), 4).alias("dup_line_char_frac"),
+        F.round(tx.symbol_word_ratio("text"), 4).alias("symbol_word_ratio"),
+        F.round(tx.bullet_line_fraction("text"), 4).alias("bullet_line_frac"),
+        F.round(tx.ellipsis_line_fraction("text"), 4).alias("ellipsis_line_frac"),
+        F.round(tx.alpha_word_fraction("text"), 4).alias("alpha_word_frac"),
+        F.round(tx.mean_word_length("text"), 4).alias("mean_word_len"),
+    )
+
+
+@register(
+    "t8_gopher_quality_filter",
+    f"WITH {_T7_SIGNALS_SQL_CTE}, "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i + 1])) AS gram FROM base WHERE len(t) >= 2), "
+    "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram), "
+    "top AS (SELECT doc_id, max(struct_pack(cnt := cnt, glen := length(gram), gram := gram)) AS m "
+    "FROM gc GROUP BY doc_id), "
+    "scored AS (SELECT s.doc_id, s.n_words, "
+    "coalesce(m.cnt * m.glen / greatest(s.n_chars, 1), 0.0) AS top2_char_frac, "
+    "dup_line_frac, dup_line_char_frac, symbol_word_ratio, bullet_line_frac, "
+    "ellipsis_line_frac, alpha_word_frac, mean_word_len "
+    "FROM sig s LEFT JOIN top USING (doc_id)) "
+    "SELECT doc_id, n_words, round(top2_char_frac, 4) AS top2_char_frac, "
+    "(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AND top2_char_frac <= 0.2 "
+    "AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
+    "AND alpha_word_frac >= 0.8 AND mean_word_len >= 3 AND mean_word_len <= 10 "
+    "AND n_words >= 50 AND n_words <= 100000) AS keep FROM scored",
+)
+def t8_gopher_quality_filter(spark, sf_dir):
+    """Gopher composite quality filter: the t7 signal vector + the
+    top-2-gram character fraction (the mode 2-gram's occurrences × its
+    length over document chars), AND-ed at the paper's thresholds
+    (dup-line ≤0.3, dup-line-chars ≤0.2, top-2-gram ≤0.2, symbol ≤0.1,
+    bullet ≤0.9, ellipsis ≤0.3, alpha-words ≥0.8, mean word length 3–10,
+    50–100k words).
+
+    Shape at scale: the only non-per-row work is the 2-gram mode —
+    explode → groupBy(doc_id, gram) partial-agg → per-doc struct-max,
+    every stage keyed by doc_id (well-distributed by construction), then
+    a broadcast-eligible left join back to the per-row signal frame. The
+    verdict compares UNROUNDED doubles on both engines: expressions are
+    structurally identical int-division trees, so the doubles are
+    bit-equal cross-engine and the boolean cannot straddle a rounding
+    edge."""
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tx.token_count("text").alias("n_words"),
+        tx.duplicate_line_fraction("text").alias("dup_line_frac"),
+        tx.duplicate_line_char_fraction("text").alias("dup_line_char_frac"),
+        tx.symbol_word_ratio("text").alias("symbol_word_ratio"),
+        tx.bullet_line_fraction("text").alias("bullet_line_frac"),
+        tx.ellipsis_line_fraction("text").alias("ellipsis_line_frac"),
+        tx.alpha_word_fraction("text").alias("alpha_word_frac"),
+        tx.mean_word_length("text").alias("mean_word_len"),
+    )
+    top = (
+        d.select("doc_id", F.explode(tx.word_2grams_all("text")).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt"), F.length("gram").alias("glen"), F.col("gram"))
+            ).alias("m")
+        )
+    )
+    scored = sig.join(top, "doc_id", "left").withColumn(
+        "top2_char_frac",
+        F.coalesce(
+            F.col("m.cnt") * F.col("m.glen") / F.greatest(F.col("n_chars"), F.lit(1)),
+            F.lit(0.0),
+        ),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+        & (F.col("top2_char_frac") <= 0.2)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round("top2_char_frac", 4).alias("top2_char_frac"),
+        keep.alias("keep"),
+    )
 
 
 @register(
