@@ -64,6 +64,8 @@ HEADLINE = [
     "tpch_q1",
     "r1_request_lifecycle_page",
     "dd1_exact_dedup",
+    "dd6_paragraph_dedup",
+    "ds1_importance_ratio",
     "dp1_corpus_prep_dedup",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",
@@ -75,6 +77,8 @@ HEADLINE = [
     "dp4_corpus_pipeline_end_to_end",
     "dp5_semantic_dedup",
     "t1_text_profile",
+    "t7_repetition_signals",
+    "t8_gopher_quality_filter",
     "px1_pii_redaction",
     "pk1_sequence_packing",
     "aj1_asof_join",

@@ -132,3 +132,70 @@ def stratified_sample(
         .filter(F.col("rn") <= per_stratum)
         .select(strata_col, id_col, "rn")
     )
+
+
+def _hashed_bucket(tok, n_buckets: int):
+    """Engine-portable hashed feature bucket: first 15 hex chars of
+    md5(token) as a 60-bit long, mod n_buckets (DuckDB:
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT % B`` — the same trick as
+    winnowing_fingerprints_md5, so the whole feature pipeline has an exact
+    cross-engine oracle; production would swap in xxhash64)."""
+    return F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def importance_ratio(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each corpus
+    document by how much its hashed-unigram feature profile looks like a
+    small TARGET corpus relative to the raw corpus, for domain-targeted
+    sampling.
+
+    Emitted statistic: per document, the add-one-smoothed target and raw
+    bucket-count sums over its token occurrences and their single-division
+    ratio. DSIR's canonical weight is ``Σ log((c_t+1)/(c_r+1))`` over the
+    same features; the count-ratio emitted here is the log-free sibling
+    (shared normalization constants across docs make both
+    ranking-statistics for "target-like") chosen because every value is
+    exact integer arithmetic plus ONE IEEE division — bit-equal across
+    engines, so the operator carries an exact DuckDB oracle (ds1) instead
+    of trusting cross-engine ``log`` ulp agreement. The log weight is a
+    one-line swap where bit-parity is not required.
+
+    Shape at scale: both distributions partial-aggregate to ≤ n_buckets
+    rows (broadcast), the corpus side is scanned once (explode → broadcast
+    hash join, no shuffle by token), and the only real shuffle is the
+    per-document sum keyed by ``doc_id`` — uniform by construction."""
+    tgt = (
+        target.select(F.explode(_tokens(text_col)).alias("tok"))
+        .select(_hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw = (
+        corpus.select(F.explode(_tokens(text_col)).alias("tok"))
+        .select(_hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+    )
+    feats = raw.join(tgt, "b", "left").select(
+        "b", F.coalesce("c_t", F.lit(0)).alias("c_t"), "c_r"
+    )
+    doc_feats = corpus.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    ).select(id_col, _hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+    return (
+        doc_feats.join(broadcast(feats), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("c_t") + 1).alias("sum_target"),
+            F.sum(F.col("c_r") + 1).alias("sum_raw"),
+        )
+        .withColumn("ratio", F.round(F.col("sum_target") / F.col("sum_raw"), 6))
+    )

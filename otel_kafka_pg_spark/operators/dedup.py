@@ -41,6 +41,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Repeated-paragraph removal (the RefinedWeb/Falcon exact-substring
+    dedup at paragraph granularity): every paragraph that appears more than
+    once ANYWHERE in the corpus keeps only its globally-first occurrence
+    (min ``(doc_id, position)``); later occurrences are cut from their
+    documents, which are then re-assembled in original paragraph order.
+
+    Returns one row per input document: (doc_id, clean_text, n_kept,
+    n_removed) — a fully-boilerplate document survives with
+    ``clean_text=''`` so downstream length filters can drop it explicitly.
+
+    Semantics: duplicate identity is ``trim(paragraph)``;
+    whitespace-only paragraphs are NEVER treated as duplicates (they are
+    formatting, not content — and the empty string would otherwise be the
+    corpus's hottest key).
+
+    Shape at scale (the reason this is NOT a window over the paragraph
+    key): ``row_number() OVER (PARTITION BY para)`` must co-locate and
+    SORT every copy of a paragraph — a boilerplate footer occurring 10⁹
+    times becomes one giant sorted partition. Instead the winner per
+    paragraph is ``groupBy(fp).min(struct(doc_id, pos))`` — partial
+    aggregation collapses each map partition's copies to ONE row before
+    the shuffle, so the hot key ships O(num_partitions) rows, not O(n).
+    The join back probes a hash table (no sort), and the only other
+    shuffle is the per-document rebuild keyed by doc_id (uniform). The
+    shuffled dedup key is a fixed-width sha256, never paragraph text."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    nonempty = paras.filter(F.trim("para") != "")
+    winners = (
+        nonempty.withColumn("fp", F.sha2(F.trim("para"), 256))
+        .groupBy("fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+    )
+    kept_ne = (
+        nonempty.withColumn("fp", F.sha2(F.trim("para"), 256))
+        .join(winners, "fp")
+        .filter((F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")))
+        .select(id_col, "pos", "para")
+    )
+    kept = kept_ne.unionByName(paras.filter(F.trim("para") == ""))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def _auto_config(threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
     """Threshold-derived sketch sizing: rows-per-band fixed at 2 and bands
     solved from the LSH S-curve so candidate probability at s=threshold is

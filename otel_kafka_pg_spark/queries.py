@@ -1763,6 +1763,68 @@ def sm1_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), per_stratum=25)
 
 
+_PARA_SEP_SQL = "chr(10) || chr(10)"
+
+
+@register_extra(
+    "dd6_paragraph_dedup",
+    # RefinedWeb-style repeated-paragraph removal: first occurrence (min
+    # (doc_id, position)) of every distinct trimmed paragraph survives,
+    # whitespace-only paragraphs never dedup, documents are re-assembled in
+    # original order. The oracle picks winners via a row_number window (fine
+    # at oracle scale); the Spark side uses the partial-agg min-struct +
+    # join form for hot-key safety — same winner by construction.
+    f"WITH p AS (SELECT doc_id, unnest(string_split(text, {_PARA_SEP_SQL})) AS para, "
+    f"unnest(range(1, len(string_split(text, {_PARA_SEP_SQL})) + 1)) AS idx FROM documents), "
+    "ne AS (SELECT * FROM p WHERE trim(para) <> ''), "
+    "k1 AS (SELECT doc_id, idx, para FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY trim(para) ORDER BY doc_id, idx) AS rn FROM ne) WHERE rn = 1), "
+    "kept AS (SELECT doc_id, idx, para FROM k1 "
+    "UNION ALL SELECT doc_id, idx, para FROM p WHERE trim(para) = ''), "
+    f"reb AS (SELECT doc_id, string_agg(para, {_PARA_SEP_SQL} ORDER BY idx) AS clean_text, "
+    "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+    "coalesce(r.n_kept, 0) AS n_kept, "
+    f"len(string_split(d.text, {_PARA_SEP_SQL})) - coalesce(r.n_kept, 0) AS n_removed "
+    "FROM documents d LEFT JOIN reb r USING (doc_id)",
+)
+def dd6_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide repeated-paragraph removal (operators/dedup.py:
+    paragraph_dedup). The sf documents are single-line, so cross-document
+    paragraph repeats are absent at the driver gate (every doc survives
+    intact — the oracle still verifies the full explode/winner/reassemble
+    machinery end-to-end); tests/test_dataops.py pins the actual removal
+    behavior on handcrafted multi-paragraph corpora."""
+    from .operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register_extra(
+    "ds1_importance_ratio",
+    # DSIR-style hashed-unigram importance weighting, target = lang='en'
+    # docs, raw = whole corpus, 1024 md5-60-bit buckets. All-integer
+    # arithmetic plus one IEEE division — exact cross-engine (see
+    # operators/corpus.py:importance_ratio for why not the log form).
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), "
+    "'\\s+'), x -> x != '')) AS tok FROM documents), "
+    "f AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b FROM tok), "
+    "tgt AS (SELECT b, count(*) AS c_t FROM f JOIN documents USING (doc_id) "
+    "WHERE lang = 'en' GROUP BY b), "
+    "raw AS (SELECT b, count(*) AS c_r FROM f GROUP BY b), "
+    "feat AS (SELECT r.b, coalesce(t.c_t, 0) AS c_t, r.c_r FROM raw r LEFT JOIN tgt t USING (b)) "
+    "SELECT doc_id, count(*) AS n_toks, "
+    "CAST(sum(c_t + 1) AS BIGINT) AS sum_target, CAST(sum(c_r + 1) AS BIGINT) AS sum_raw, "
+    "round(CAST(sum(c_t + 1) AS DOUBLE) / sum(c_r + 1), 6) AS ratio "
+    "FROM f JOIN feat USING (b) GROUP BY doc_id",
+)
+def ds1_importance_ratio(spark, sf_dir):
+    from .operators.corpus import importance_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_ratio(d, d.filter(F.col("lang") == "en"))
+
+
 @register(
     "t6_winnowing_fingerprints",
     # exact cross-engine oracle for the full winnowing pipeline via the

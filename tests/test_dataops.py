@@ -492,3 +492,57 @@ def test_embedding_lsh_max_bucket_skips_hot_sign_bucket(spark):
     assert (900, 901) in capped
     uncapped = embedding_lsh_pairs(df, threshold=0.99, bits=4, bucket_hamming=0).count()
     assert uncapped >= 149 * 150 // 2
+
+
+def test_paragraph_dedup_first_occurrence_survives(spark):
+    from otel_kafka_pg_spark.operators.dedup import paragraph_dedup
+
+    sep = "\n\n"
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, sep.join(["unique alpha", boiler, "unique beta"])),
+        (1, sep.join([boiler, "unique gamma"])),          # boiler repeats -> cut
+        (2, sep.join(["  " + boiler + "  ", "delta"])),   # trimmed match -> cut
+        (3, boiler),                                      # fully boilerplate -> ''
+        (4, sep.join(["solo", "", "after-blank"])),       # blank para kept as-is
+        (5, sep.join(["solo2", "", "after-blank2"])),     # blank NOT deduped across docs
+    ]
+    got = {r["doc_id"]: r.asDict() for r in
+           paragraph_dedup(spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[0]["clean_text"] == rows[0][1] and got[0]["n_removed"] == 0
+    assert got[1]["clean_text"] == "unique gamma" and got[1]["n_removed"] == 1
+    assert got[2]["clean_text"] == "delta" and got[2]["n_removed"] == 1
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0 and got[3]["n_removed"] == 1
+    assert got[4]["clean_text"] == rows[4][1]  # blank slot preserved in place
+    assert got[5]["clean_text"] == rows[5][1]
+    assert len(got) == 6  # every input doc appears exactly once
+
+
+def test_paragraph_dedup_order_and_within_doc_repeat(spark):
+    from otel_kafka_pg_spark.operators.dedup import paragraph_dedup
+
+    sep = "\n\n"
+    # same para twice WITHIN one doc: first position survives, order stable
+    rows = [(7, sep.join(["z-late", "dup", "a-early", "dup"]))]
+    got = paragraph_dedup(spark.createDataFrame(rows, "doc_id long, text string")).head()
+    assert got["clean_text"] == sep.join(["z-late", "dup", "a-early"])
+    assert got["n_kept"] == 3 and got["n_removed"] == 1
+
+
+def test_importance_ratio_ranks_target_like_docs_higher(spark):
+    from otel_kafka_pg_spark.operators.corpus import importance_ratio
+
+    # target vocabulary {spark shuffle join}; off-target {valse tango polka}
+    rows = [
+        (0, "spark shuffle join spark shuffle"),
+        (1, "valse tango polka valse tango"),
+        (2, "spark valse"),  # mixed
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = corpus.filter("doc_id = 0")
+    got = {r["doc_id"]: r.asDict() for r in importance_ratio(corpus, target).collect()}
+    assert got[0]["ratio"] > got[2]["ratio"] > got[1]["ratio"]
+    assert got[0]["n_toks"] == 5 and got[1]["n_toks"] == 5 and got[2]["n_toks"] == 2
+    # raw side counts every doc's tokens; target side only doc 0's
+    assert got[1]["sum_target"] == 5  # smoothing floor: +1 per token, no target hits
+    assert got[0]["sum_target"] > got[0]["n_toks"]
