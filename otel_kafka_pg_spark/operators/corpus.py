@@ -167,35 +167,39 @@ def importance_ratio(
     of trusting cross-engine ``log`` ulp agreement. The log weight is a
     one-line swap where bit-parity is not required.
 
-    Shape at scale: both distributions partial-aggregate to ≤ n_buckets
-    rows (broadcast), the corpus side is scanned once (explode → broadcast
-    hash join, no shuffle by token), and the only real shuffle is the
-    per-document sum keyed by ``doc_id`` — uniform by construction."""
+    Shape at scale: the corpus tokenize+hash pass runs ONCE — both the
+    raw distribution and the per-document sum consume the same
+    ``groupBy(doc_id, bucket)`` pre-aggregation, built as an identical
+    subtree so Catalyst's ReuseExchange executes its shuffle a single
+    time (plan-asserted in tests). That pre-aggregation also means the
+    per-document shuffle ships (doc_id, bucket, n) triples — bounded by
+    docs × n_buckets — never raw token occurrences. Both distributions
+    partial-aggregate to ≤ n_buckets rows; the feature table broadcasts;
+    the target corpus (small by definition of DSIR) pays the only other
+    scan."""
+    db = (
+        corpus.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+        .select(id_col, _hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     tgt = (
         target.select(F.explode(_tokens(text_col)).alias("tok"))
         .select(_hashed_bucket(F.col("tok"), n_buckets).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    raw = (
-        corpus.select(F.explode(_tokens(text_col)).alias("tok"))
-        .select(_hashed_bucket(F.col("tok"), n_buckets).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_r"))
-    )
+    raw = db.groupBy("b").agg(F.sum("n").alias("c_r"))
     feats = raw.join(tgt, "b", "left").select(
         "b", F.coalesce("c_t", F.lit(0)).alias("c_t"), "c_r"
     )
-    doc_feats = corpus.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
-    ).select(id_col, _hashed_bucket(F.col("tok"), n_buckets).alias("b"))
     return (
-        doc_feats.join(broadcast(feats), "b")
+        db.join(broadcast(feats), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum(F.col("c_t") + 1).alias("sum_target"),
-            F.sum(F.col("c_r") + 1).alias("sum_raw"),
+            F.sum("n").alias("n_toks"),
+            F.sum(F.col("n") * (F.col("c_t") + 1)).alias("sum_target"),
+            F.sum(F.col("n") * (F.col("c_r") + 1)).alias("sum_raw"),
         )
         .withColumn("ratio", F.round(F.col("sum_target") / F.col("sum_raw"), 6))
     )

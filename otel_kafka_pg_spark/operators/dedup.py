@@ -69,9 +69,12 @@ def paragraph_dedup(
     paragraph is ``groupBy(fp).min(struct(doc_id, pos))`` — partial
     aggregation collapses each map partition's copies to ONE row before
     the shuffle, so the hot key ships O(num_partitions) rows, not O(n).
-    The join back probes a hash table (no sort), and the only other
-    shuffle is the per-document rebuild keyed by doc_id (uniform). The
-    shuffled dedup key is a fixed-width sha256, never paragraph text."""
+    The join back is a plain equi-join on the fingerprint; its residual
+    probe-side skew (every copy of a hot paragraph hashes to one
+    partition) is the shape AQE's skew-join splitting relieves at
+    runtime — an escape hatch a sort window does not have. The only
+    other shuffle is the per-document rebuild keyed by doc_id (uniform),
+    and the shuffled dedup key is a fixed-width sha256, never text."""
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),

@@ -184,3 +184,26 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_importance_ratio_reuses_corpus_exchange(spark):
+    """ds1's raw distribution and per-doc sum consume the SAME
+    groupBy(doc_id, bucket) pre-aggregation: with AQE off the static
+    ReuseExchange rule must dedup the two identical subtrees (AQE's
+    runtime stage cache keys on the same canonicalized plan, so this also
+    proves the adaptive path scans the corpus once)."""
+    from otel_kafka_pg_spark.operators.corpus import importance_ratio
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            importance_ratio(corpus, corpus.filter("doc_id < 10"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan
