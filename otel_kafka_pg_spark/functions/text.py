@@ -198,6 +198,15 @@ def word_2grams_all(col: Column | str) -> Column:
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
+def md5_60bit(c: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit long — THE engine-portable
+    hash of this codebase (DuckDB twin: ``('0x' || substr(md5(x), 1,
+    15))::BIGINT``). Every exactly-oracled consumer (winnowing t6, DSIR
+    ds1) must hash through this one definition so cross-engine bit-parity
+    can't drift between copies."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -> Column:
     """Winnowing twin whose k-gram hash is the first 15 hex chars of
     md5(gram) as a 60-bit long — bit-for-bit reproducible OUTSIDE Spark
@@ -210,10 +219,7 @@ def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -
     chars = F.split(norm, "")
     n = F.size(chars)
     gram_str = lambda s: F.concat_ws("", *[s[str(i)] for i in range(k)])  # noqa: E731
-    grams = F.transform(
-        _gram_structs(chars, k, n),
-        lambda s: F.conv(F.substring(F.md5(gram_str(s)), 1, 15), 16, 10).cast("long"),
-    )
+    grams = F.transform(_gram_structs(chars, k, n), lambda s: md5_60bit(gram_str(s)))
     m = F.size(grams)
     mins = F.transform(
         _gram_structs(grams, window, m), lambda s: F.least(*[s[str(i)] for i in range(window)])

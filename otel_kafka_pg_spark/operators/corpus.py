@@ -135,12 +135,12 @@ def stratified_sample(
 
 
 def _hashed_bucket(tok, n_buckets: int):
-    """Engine-portable hashed feature bucket: first 15 hex chars of
-    md5(token) as a 60-bit long, mod n_buckets (DuckDB:
-    ``('0x' || substr(md5(tok), 1, 15))::BIGINT % B`` — the same trick as
-    winnowing_fingerprints_md5, so the whole feature pipeline has an exact
-    cross-engine oracle; production would swap in xxhash64)."""
-    return F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"), F.lit(n_buckets))
+    """Engine-portable hashed feature bucket: the shared md5-60-bit hash
+    (functions/text.py:md5_60bit — one definition for every exactly-oracled
+    consumer) mod n_buckets; production would swap in xxhash64."""
+    from ..functions.text import md5_60bit
+
+    return F.pmod(md5_60bit(tok), F.lit(n_buckets))
 
 
 def importance_ratio(

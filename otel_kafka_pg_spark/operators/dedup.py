@@ -75,19 +75,24 @@ def paragraph_dedup(
     runtime — an escape hatch a sort window does not have. The only
     other shuffle is the per-document rebuild keyed by doc_id (uniform),
     and the shuffled dedup key is a fixed-width sha256, never text."""
+    import re as _re
+
+    # sep is a LITERAL separator everywhere (split, rejoin, oracle) — escape
+    # it for F.split's regex so e.g. sep="||" can't become an empty
+    # alternation that splits between every character
+    sep_re = _re.escape(sep)
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
     )
-    nonempty = paras.filter(F.trim("para") != "")
-    winners = (
-        nonempty.withColumn("fp", F.sha2(F.trim("para"), 256))
-        .groupBy("fp")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+    nonempty = paras.filter(F.trim("para") != "").withColumn(
+        "fp", F.sha2(F.trim("para"), 256)
+    )
+    winners = nonempty.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
     )
     kept_ne = (
-        nonempty.withColumn("fp", F.sha2(F.trim("para"), 256))
-        .join(winners, "fp")
+        nonempty.join(winners, "fp")
         .filter((F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")))
         .select(id_col, "pos", "para")
     )
@@ -102,7 +107,7 @@ def paragraph_dedup(
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+        F.col(id_col), F.size(F.split(F.col(text_col), sep_re)).alias("n_paras")
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,

@@ -94,11 +94,13 @@ def make_bucketizer(dims: int, bits: int = 8, seed: int = 42):
 
 
 def fit_ivf_centroids(df: DataFrame, k: int = 8, sample: int = 1024, iters: int = 5, seed: int = 42,
-                      vec_col: str = "embedding") -> np.ndarray:
+                      vec_col: str = "embedding") -> np.ndarray | None:
     """Fit IVF centroids with mini-Lloyd iterations on a bounded seeded
     sample (standard IVF practice: the coarse quantizer is trained on a
     sample, then broadcast). Deterministic: seeded sample, seeded init.
-    Driver memory is bounded by ``sample`` rows regardless of table size."""
+    Driver memory is bounded by ``sample`` rows regardless of table size.
+    Returns ``None`` on empty input (no vectors to fit) — callers fall
+    back to brute force, as ``ivf_topk`` does."""
     rows = (
         drop_null_vectors(df, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))

@@ -1857,13 +1857,27 @@ def t6x_winnowing_fast(spark, sf_dir):
 
 
 def _query_vec(spark, sf_dir):
-    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .filter(F.col("embedding").isNotNull())  # vec 0 may exist unembedded
+        .select("embedding")
+        .head()
+    )
     if row is None:
-        # empty table / missing vec_id 0 (first-run-of-day at scale): any
-        # unit vector works — every downstream frame is empty or ranks an
-        # empty candidate set; unit (not zero) keeps cosine well-defined
-        # against whatever rows do exist. 64 = the testdata embedding dim.
-        return [1.0] + [0.0] * 63
+        # vec_id 0 absent or NULL (empty table / unembedded row): any unit
+        # vector of the TABLE's dimension works — downstream either ranks an
+        # empty set or needs dim-compatible arithmetic, so derive the dim
+        # from any surviving row rather than assuming the testdata's 64.
+        from .operators.simsearch import drop_null_vectors
+
+        any_row = (
+            drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
+            .select("embedding")
+            .head()
+        )
+        dim = len(any_row["embedding"]) if any_row is not None else 64
+        return [1.0] + [0.0] * (dim - 1)
     return [float(x) for x in row["embedding"]]
 
 

@@ -546,3 +546,16 @@ def test_importance_ratio_ranks_target_like_docs_higher(spark):
     # raw side counts every doc's tokens; target side only doc 0's
     assert got[1]["sum_target"] == 5  # smoothing floor: +1 per token, no target hits
     assert got[0]["sum_target"] > got[0]["n_toks"]
+
+
+def test_paragraph_dedup_separator_is_literal_not_regex(spark):
+    from otel_kafka_pg_spark.operators.dedup import paragraph_dedup
+
+    # "||" as a regex is an empty alternation (splits between every char);
+    # as a literal separator doc 0 is [a, b, a] and doc 1's "b" is a repeat
+    rows = [(0, "a||b||a"), (1, "b")]
+    got = {r["doc_id"]: r.asDict() for r in
+           paragraph_dedup(spark.createDataFrame(rows, "doc_id long, text string"),
+                           sep="||").collect()}
+    assert got[0]["clean_text"] == "a||b" and got[0]["n_removed"] == 1
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 1

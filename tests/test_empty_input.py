@@ -29,8 +29,11 @@ _ALL = {**REGISTRY, **EXTRA_REGISTRY}
 
 
 def _reads_sf_tables(fn) -> bool:
-    src = inspect.getsource(fn)
-    return not ("_PIPE" in src or "_pipe" in src or "synth" in src.lower())
+    # positive signal: sf-reading entries load tables through the shared
+    # _t(spark, sf_dir, name) helper. (A name-substring blocklist silently
+    # dropped dp4_corpus_pipeline_end_to_end because its own function name
+    # contains "_pipe" — a self-excluding gate is worse than no gate.)
+    return "_t(" in inspect.getsource(fn)
 
 
 CASES = [(n, fn) for n, (fn, _) in _ALL.items() if _reads_sf_tables(fn)]

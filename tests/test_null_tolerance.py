@@ -38,10 +38,11 @@ _INJECT = {
 
 
 def _targets_llm_tables(fn) -> bool:
+    # positive signal: reads sf tables via _t() AND touches an injectable
+    # table (the old name-substring blocklist self-excluded dp4, whose
+    # function name contains "_pipe")
     src = inspect.getsource(fn)
-    if "_PIPE" in src or "_pipe" in src or "synth" in src.lower():
-        return False  # self-synthesizing input, not table-driven
-    return any(t in src for t in _INJECT)
+    return "_t(" in src and any(t in src for t in _INJECT)
 
 
 CASES = [(n, fn) for n, (fn, _) in _ALL.items() if _targets_llm_tables(fn)]
@@ -76,3 +77,21 @@ def test_entry_survives_nulls(spark, nulled_sf_dir, name, fn):
     df = fn(spark, nulled_sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_query_vec_null_vec0_falls_back_with_table_dim(spark, tmp_path):
+    """vec_id 0 present but NULL (an unembedded row — exactly the injection
+    this suite models) must not crash the e-family, and the fallback query
+    vector must take the TABLE's dimension, not an assumed 64."""
+    import os
+
+    from otel_kafka_pg_spark.queries import REGISTRY, _query_vec
+
+    rows = [(0, None, "a"), (1, [1.0] * 8, "b"), (2, [0.5] * 8, "c")]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    v = _query_vec(spark, str(tmp_path))
+    assert len(v) == 8 and v[0] == 1.0 and sum(v) == 1.0
+    fn, _ = REGISTRY["e1_cosine_topk"]
+    assert fn(spark, str(tmp_path)).count() == 2  # both non-null vectors ranked
