@@ -66,6 +66,7 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd6_paragraph_dedup",
     "ds1_importance_ratio",
+    "sm2_mixture_sample",
     "dp1_corpus_prep_dedup",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_near_pairs",

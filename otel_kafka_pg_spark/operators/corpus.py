@@ -134,6 +134,50 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    total: int = 200,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the corpus-assembly pass
+    that rebalances a skewed source/language mix before training
+    (mBERT/XLM-R style: sample source s with probability ∝ n_s^α, α<1, so
+    tail sources are upweighted relative to their raw share). α is fixed
+    at 0.5 and computed as ``floor(sqrt(n_s))`` INTEGER weights: IEEE
+    sqrt is correctly rounded, the weight sum is integer (order-free),
+    and each quota is one exact ``floor(total·isq_s / S)`` division — so
+    the whole quota schedule is bit-identical cross-engine and the entry
+    carries an exact DuckDB oracle (sm2). A general α is the one-line
+    ``pow`` swap, traded away here because ``pow``'s cross-engine ulp
+    agreement is not guaranteed.
+
+    Within each stratum the quota is filled by the same deterministic
+    md5-rank as ``stratified_sample`` (no RNG state to distribute).
+    Shape at scale: the count and quota frames are stratum-sized
+    (broadcast); the only data-sized work is one window partitioned by
+    the stratum key — parallel across strata."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.withColumn("isq", F.floor(F.sqrt(F.col("n_s"))).cast("long"))
+    s_tot = w.agg(F.sum("isq").alias("S"))
+    quotas = (
+        w.crossJoin(broadcast(s_tot))
+        .withColumn("quota", F.floor(F.lit(total) * F.col("isq") / F.col("S")).cast("long"))
+        .select(strata_col, "quota")
+    )
+    win = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.join(broadcast(quotas), strata_col)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(strata_col, id_col, "rn", "quota")
+    )
+
+
 def _hashed_bucket(tok, n_buckets: int):
     """Engine-portable hashed feature bucket: the shared md5-60-bit hash
     (functions/text.py:md5_60bit — one definition for every exactly-oracled

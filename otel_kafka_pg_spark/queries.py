@@ -1763,6 +1763,26 @@ def sm1_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), per_stratum=25)
 
 
+@register_extra(
+    "sm2_mixture_sample",
+    # temperature-flattened (α=0.5) source-mixture sample, quota schedule in
+    # exact integer arithmetic (floor(sqrt) weights) — see
+    # operators/corpus.py:mixture_sample for the cross-engine argument
+    "WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source), "
+    "w AS (SELECT source, CAST(floor(sqrt(n_s)) AS BIGINT) AS isq FROM c), "
+    "s AS (SELECT CAST(sum(isq) AS BIGINT) AS S FROM w), "
+    "q AS (SELECT source, CAST(floor(200 * isq / S) AS BIGINT) AS quota FROM w, s), "
+    "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT r.source, r.doc_id, r.rn, q.quota FROM r JOIN q USING (source) "
+    "WHERE rn <= quota",
+)
+def sm2_mixture_sample(spark, sf_dir):
+    from .operators.corpus import mixture_sample
+
+    return mixture_sample(_t(spark, sf_dir, "documents"), total=200)
+
+
 _PARA_SEP_SQL = "chr(10) || chr(10)"
 
 

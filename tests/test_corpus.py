@@ -173,3 +173,24 @@ def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
                     .stdout.strip().splitlines()[-1])
     assert m6["resumed_stages"] == []
     assert m6["counts"] == m2["counts"]
+
+
+def test_mixture_sample_flattens_skewed_sources(spark):
+    """α=0.5 temperature: a 100-doc head source and a 4-doc tail source get
+    sqrt weights 10:2, so the tail's sample share (1/6) far exceeds its raw
+    share (4/104) — the whole point of temperature flattening."""
+    from otel_kafka_pg_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "head") for i in range(100)] + [(100 + i, "tail") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mixture_sample(df, total=60).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r)
+    # S = 10 + 2 = 12 -> quotas floor(60*10/12)=50, floor(60*2/12)=10
+    assert len(per["head"]) == 50 and per["head"][0]["quota"] == 50
+    # tail has only 4 docs: quota 10 but rn can't exceed 4
+    assert len(per["tail"]) == 4 and per["tail"][0]["quota"] == 10
+    # deterministic: second run picks the identical id set
+    again = {r["doc_id"] for r in mixture_sample(df, total=60).collect()}
+    assert again == {r["doc_id"] for r in got}
