@@ -77,6 +77,7 @@ HEADLINE = [
     "cc2_dedup_clusters_star",
     "dp4_corpus_pipeline_end_to_end",
     "dp5_semantic_dedup",
+    "dp6_corpus_prep_modern",
     "t1_text_profile",
     "t7_repetition_signals",
     "t8_gopher_quality_filter",

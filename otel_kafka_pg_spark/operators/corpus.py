@@ -134,6 +134,72 @@ def stratified_sample(
     )
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gopher composite quality filter (Rae et al. 2021, Table A1) as a
+    reusable DataFrame op: the t7 per-row signal vector + the top-2-gram
+    character fraction, AND-ed into a ``keep`` boolean at the paper's
+    thresholds. ``passthrough`` columns ride along the per-row projection
+    so composites can keep (text, source, ...) without a join back.
+
+    Shape at scale: signals are zero-shuffle per-row expressions; the
+    2-gram mode is explode → groupBy(doc_id, gram) partial-agg →
+    per-doc struct-max, every stage keyed by doc_id, then a left join
+    back to the signal frame on doc_id. See queries.t8 for the exact
+    DuckDB oracle of both the signals and the verdict."""
+    from ..functions import text as tx
+
+    sig = df.select(
+        id_col,
+        *passthrough,
+        F.length(text_col).alias("n_chars"),
+        tx.token_count(text_col).alias("n_words"),
+        tx.duplicate_line_fraction(text_col).alias("dup_line_frac"),
+        tx.duplicate_line_char_fraction(text_col).alias("dup_line_char_frac"),
+        tx.symbol_word_ratio(text_col).alias("symbol_word_ratio"),
+        tx.bullet_line_fraction(text_col).alias("bullet_line_frac"),
+        tx.ellipsis_line_fraction(text_col).alias("ellipsis_line_frac"),
+        tx.alpha_word_fraction(text_col).alias("alpha_word_frac"),
+        tx.mean_word_length(text_col).alias("mean_word_len"),
+    )
+    top = (
+        df.select(id_col, F.explode(tx.word_2grams_all(text_col)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cnt"), F.length("gram").alias("glen"), F.col("gram"))
+            ).alias("m")
+        )
+    )
+    scored = sig.join(top, id_col, "left").withColumn(
+        "top2_char_frac",
+        F.coalesce(
+            F.col("m.cnt") * F.col("m.glen") / F.greatest(F.col("n_chars"), F.lit(1)),
+            F.lit(0.0),
+        ),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+        & (F.col("top2_char_frac") <= 0.2)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+    )
+    return scored.withColumn("keep", keep).drop("m")
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str = "source",

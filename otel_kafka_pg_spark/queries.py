@@ -1411,9 +1411,10 @@ def t7_repetition_signals(spark, sf_dir):
     )
 
 
-@register(
-    "t8_gopher_quality_filter",
-    f"WITH {_T7_SIGNALS_SQL_CTE}, "
+# gram-mode + scored CTEs and the keep predicate, shared verbatim between the
+# t8 oracle and the dp6 composite oracle (one definition per engine, like the
+# Spark side's gopher_filter)
+_T8_GRAM_CTES = (
     "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
     "i -> t[i] || ' ' || t[i + 1])) AS gram FROM base WHERE len(t) >= 2), "
     "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram), "
@@ -1423,12 +1424,21 @@ def t7_repetition_signals(spark, sf_dir):
     "coalesce(m.cnt * m.glen / greatest(s.n_chars, 1), 0.0) AS top2_char_frac, "
     "dup_line_frac, dup_line_char_frac, symbol_word_ratio, bullet_line_frac, "
     "ellipsis_line_frac, alpha_word_frac, mean_word_len "
-    "FROM sig s LEFT JOIN top USING (doc_id)) "
-    "SELECT doc_id, n_words, round(top2_char_frac, 4) AS top2_char_frac, "
+    "FROM sig s LEFT JOIN top USING (doc_id))"
+)
+_GOPHER_KEEP_SQL = (
     "(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AND top2_char_frac <= 0.2 "
     "AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
     "AND alpha_word_frac >= 0.8 AND mean_word_len >= 3 AND mean_word_len <= 10 "
-    "AND n_words >= 50 AND n_words <= 100000) AS keep FROM scored",
+    "AND n_words >= 50 AND n_words <= 100000)"
+)
+
+
+@register(
+    "t8_gopher_quality_filter",
+    f"WITH {_T7_SIGNALS_SQL_CTE}, {_T8_GRAM_CTES} "
+    "SELECT doc_id, n_words, round(top2_char_frac, 4) AS top2_char_frac, "
+    f"{_GOPHER_KEEP_SQL} AS keep FROM scored",
 )
 def t8_gopher_quality_filter(spark, sf_dir):
     """Gopher composite quality filter: the t7 signal vector + the
@@ -1445,56 +1455,15 @@ def t8_gopher_quality_filter(spark, sf_dir):
     verdict compares UNROUNDED doubles on both engines: expressions are
     structurally identical int-division trees, so the doubles are
     bit-equal cross-engine and the boolean cannot straddle a rounding
-    edge."""
-    d = _t(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        tx.token_count("text").alias("n_words"),
-        tx.duplicate_line_fraction("text").alias("dup_line_frac"),
-        tx.duplicate_line_char_fraction("text").alias("dup_line_char_frac"),
-        tx.symbol_word_ratio("text").alias("symbol_word_ratio"),
-        tx.bullet_line_fraction("text").alias("bullet_line_frac"),
-        tx.ellipsis_line_fraction("text").alias("ellipsis_line_frac"),
-        tx.alpha_word_fraction("text").alias("alpha_word_frac"),
-        tx.mean_word_length("text").alias("mean_word_len"),
-    )
-    top = (
-        d.select("doc_id", F.explode(tx.word_2grams_all("text")).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cnt"), F.length("gram").alias("glen"), F.col("gram"))
-            ).alias("m")
-        )
-    )
-    scored = sig.join(top, "doc_id", "left").withColumn(
-        "top2_char_frac",
-        F.coalesce(
-            F.col("m.cnt") * F.col("m.glen") / F.greatest(F.col("n_chars"), F.lit(1)),
-            F.lit(0.0),
-        ),
-    )
-    keep = (
-        (F.col("dup_line_frac") <= 0.3)
-        & (F.col("dup_line_char_frac") <= 0.2)
-        & (F.col("top2_char_frac") <= 0.2)
-        & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_frac") <= 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-        & (F.col("n_words") >= 50)
-        & (F.col("n_words") <= 100000)
-    )
-    return scored.select(
+    edge. The full filter lives in operators/corpus.py:gopher_filter so
+    composites (dp6) reuse exactly this definition."""
+    from .operators.corpus import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         "n_words",
         F.round("top2_char_frac", 4).alias("top2_char_frac"),
-        keep.alias("keep"),
+        F.col("keep"),
     )
 
 
@@ -1843,6 +1812,64 @@ def ds1_importance_ratio(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return importance_ratio(d, d.filter(F.col("lang") == "en"))
+
+
+@register_extra(
+    "dp6_corpus_prep_modern",
+    # the late-r4 composite: Gopher quality gate (t8, shared CTEs) →
+    # corpus-wide paragraph dedup (dd6 shape) → temperature-flattened
+    # mixture sample (sm2 shape, total=100) — every stage's oracle SQL is
+    # the same text as the standalone entry's, composed
+    f"WITH {_T7_SIGNALS_SQL_CTE}, {_T8_GRAM_CTES}, "
+    f"keepers AS (SELECT doc_id FROM scored WHERE {_GOPHER_KEEP_SQL}), "
+    "surv AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN keepers USING (doc_id)), "
+    f"p AS (SELECT doc_id, unnest(string_split(text, {_PARA_SEP_SQL})) AS para, "
+    f"unnest(range(1, len(string_split(text, {_PARA_SEP_SQL})) + 1)) AS idx FROM surv), "
+    "ne AS (SELECT * FROM p WHERE trim(para) <> ''), "
+    "k1 AS (SELECT doc_id, idx, para FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY trim(para) ORDER BY doc_id, idx) AS rn FROM ne) WHERE rn = 1), "
+    "kept AS (SELECT doc_id, idx, para FROM k1 "
+    "UNION ALL SELECT doc_id, idx, para FROM p WHERE trim(para) = ''), "
+    f"reb AS (SELECT doc_id, string_agg(para, {_PARA_SEP_SQL} ORDER BY idx) AS clean_text "
+    "FROM kept GROUP BY doc_id), "
+    "cl AS (SELECT s.doc_id, s.source, coalesce(r.clean_text, '') AS clean_text "
+    "FROM surv s LEFT JOIN reb r USING (doc_id) WHERE coalesce(r.clean_text, '') <> ''), "
+    "c AS (SELECT source, count(*) AS n_s FROM cl GROUP BY source), "
+    "w AS (SELECT source, CAST(floor(sqrt(n_s)) AS BIGINT) AS isq FROM c), "
+    "s2 AS (SELECT CAST(sum(isq) AS BIGINT) AS S FROM w), "
+    "q AS (SELECT source, CAST(floor(100 * isq / S) AS BIGINT) AS quota FROM w, s2), "
+    "r2 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM cl) "
+    "SELECT r2.source, r2.doc_id, r2.rn, q.quota, length(cl2.clean_text) AS n_clean_chars "
+    "FROM r2 JOIN q USING (source) JOIN cl cl2 ON r2.doc_id = cl2.doc_id WHERE rn <= quota",
+)
+def dp6_corpus_prep_modern(spark, sf_dir):
+    """The modern LLM corpus-prep chain over the late-r4 operators, as ONE
+    exactly-oracled entry: Gopher quality filter → corpus-wide
+    repeated-paragraph removal (docs emptied by boilerplate removal drop) →
+    α=0.5 temperature mixture sample across sources. Complements dp4 (the
+    exact-dedup/cluster/packing chain); every stage is the SAME operator
+    function the standalone entries use, so driver-green here certifies
+    the composition, not a re-implementation."""
+    from .operators.corpus import gopher_filter, mixture_sample
+    from .operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    surv = (
+        gopher_filter(d, passthrough=("text", "source"))
+        .filter("keep")
+        .select("doc_id", "text", "source")
+    )
+    cleaned = (
+        paragraph_dedup(surv)
+        .filter(F.col("clean_text") != "")
+        .join(surv.select("doc_id", "source"), "doc_id")
+    )
+    sampled = mixture_sample(cleaned, strata_col="source", total=100)
+    return sampled.join(
+        cleaned.select("doc_id", F.length("clean_text").alias("n_clean_chars")),
+        "doc_id",
+    ).select("source", "doc_id", "rn", "quota", "n_clean_chars")
 
 
 @register(
