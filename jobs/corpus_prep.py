@@ -25,7 +25,9 @@ Cluster usage::
     spark-submit --py-files engine.zip jobs/corpus_prep.py \
         --input  <documents parquet path> \
         --output <out root> \
-        [--quality-min 0.5] [--near-threshold 0.6] [--per-stratum 25] \
+        [--quality-min 0.5] [--quality heuristic|gopher] \
+        [--near-threshold 0.6] [--per-stratum 25] \
+        [--sample stratified|mixture] [--mixture-total 200] \
         [--shard-size 128] [--token-budget 512] [--no-resume]
 
 Local smoke::
@@ -51,8 +53,23 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="documents parquet path (doc_id, text, lang, …)")
     ap.add_argument("--output", required=True, help="output root directory")
     ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument(
+        "--quality",
+        choices=("heuristic", "gopher"),
+        default="heuristic",
+        help="quality gate: composite heuristic score (dp4 default) or the full "
+        "Gopher Table-A1 filter (t8/dp6 definition; --quality-min ignored)",
+    )
     ap.add_argument("--near-threshold", type=float, default=0.6)
     ap.add_argument("--per-stratum", type=int, default=25)
+    ap.add_argument(
+        "--sample",
+        choices=("stratified", "mixture"),
+        default="stratified",
+        help="per-lang quota fill: equal per_stratum quotas (dp4 default) or the "
+        "alpha=0.5 temperature mixture schedule (sm2/dp6 definition)",
+    )
+    ap.add_argument("--mixture-total", type=int, default=200)
     ap.add_argument("--shard-size", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=512)
     ap.add_argument("--no-resume", action="store_true")
@@ -78,8 +95,11 @@ def main() -> int:
 
     params = {
         "quality_min": args.quality_min,
+        "quality": args.quality,
         "near_threshold": args.near_threshold,
         "per_stratum": args.per_stratum,
+        "sample": args.sample,
+        "mixture_total": args.mixture_total,
         "shard_size": args.shard_size,
         "token_budget": args.token_budget,
     }
@@ -127,7 +147,9 @@ def main() -> int:
             )
         return spark.read.parquet(dest)
 
-    gated_ids = load_or_build("gated", lambda: cp.quality_gate(docs, args.quality_min))
+    gated_ids = load_or_build(
+        "gated", lambda: cp.quality_gate(docs, args.quality_min, method=args.quality)
+    )
     # stage handoffs are id lists; rejoin the source for stages that need text
     kept_ids = load_or_build(
         "kept", lambda: cp.exact_keep(docs.join(gated_ids.select("doc_id"), "doc_id"))
@@ -136,7 +158,12 @@ def main() -> int:
         "reps",
         lambda: cp.near_dup_reps(docs.join(kept_ids.select("doc_id"), "doc_id"), args.near_threshold),
     )
-    sample = load_or_build("sample", lambda: cp.quota_sample(docs, reps, args.per_stratum))
+    sample = load_or_build(
+        "sample",
+        lambda: cp.quota_sample(
+            docs, reps, args.per_stratum, method=args.sample, mixture_total=args.mixture_total
+        ),
+    )
     packed = load_or_build(
         "packed", lambda: cp.pack_bins(docs, sample, args.shard_size, args.token_budget)
     )

@@ -31,8 +31,20 @@ from ..operators.dedup import exact_dedup, minhash_lsh_pairs
 from ..operators.graph import duplicate_clusters
 
 
-def quality_gate(docs: DataFrame, quality_min: float = 0.5) -> DataFrame:
-    """Docs passing the heuristic quality score (pure JVM expressions)."""
+def quality_gate(
+    docs: DataFrame, quality_min: float = 0.5, method: str = "heuristic"
+) -> DataFrame:
+    """Docs passing the quality gate. ``method='heuristic'`` (default,
+    dp4's oracle-pinned stage) filters on the composite quality score;
+    ``method='gopher'`` applies the full Gopher Table-A1 filter
+    (operators/corpus.py:gopher_filter — the t8/dp6 driver-verified
+    definition; its thresholds are the paper's, so ``quality_min`` is
+    ignored)."""
+    if method == "gopher":
+        from ..operators.corpus import gopher_filter
+
+        keepers = gopher_filter(docs).filter("keep").select("doc_id")
+        return docs.join(keepers, "doc_id")
     return docs.filter(tx.quality_score("text") >= quality_min)
 
 
@@ -50,12 +62,25 @@ def near_dup_reps(kept: DataFrame, near_threshold: float = 0.6) -> DataFrame:
     return clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
 
 
-def quota_sample(docs: DataFrame, reps: DataFrame, per_stratum: int = 25) -> DataFrame:
-    """Per-``lang`` stratified quota sample of the cluster reps
-    (deterministic md5-rank, RNG-free)."""
-    return stratified_sample(docs.join(reps.select("doc_id"), "doc_id"), per_stratum=per_stratum).select(
-        "doc_id"
-    )
+def quota_sample(
+    docs: DataFrame,
+    reps: DataFrame,
+    per_stratum: int = 25,
+    method: str = "stratified",
+    mixture_total: int = 200,
+) -> DataFrame:
+    """Per-``lang`` quota sample of the cluster reps (deterministic
+    md5-rank, RNG-free). ``method='stratified'`` (default, dp4's stage)
+    takes ``per_stratum`` docs per language; ``method='mixture'`` takes
+    ``mixture_total`` docs split by the α=0.5 temperature schedule
+    (operators/corpus.py:mixture_sample — the sm2/dp6 definition), which
+    upweights tail languages instead of hard-equalizing them."""
+    base = docs.join(reps.select("doc_id"), "doc_id")
+    if method == "mixture":
+        from ..operators.corpus import mixture_sample
+
+        return mixture_sample(base, strata_col="lang", total=mixture_total).select("doc_id")
+    return stratified_sample(base, per_stratum=per_stratum).select("doc_id")
 
 
 def pack_bins(
@@ -85,6 +110,9 @@ def corpus_prep_stages(
     per_stratum: int = 25,
     shard_size: int = 128,
     token_budget: int = 512,
+    quality_method: str = "heuristic",
+    sample_method: str = "stratified",
+    mixture_total: int = 200,
 ) -> dict[str, DataFrame]:
     """Compose the whole chain; return every stage's frame by name.
 
@@ -95,9 +123,11 @@ def corpus_prep_stages(
     ``packed``  per-shard sequence-packing bins
                 (shard, bin_id, n_docs, total_tokens)
     """
-    gated = quality_gate(docs, quality_min)
+    gated = quality_gate(docs, quality_min, method=quality_method)
     kept = exact_keep(gated)
     reps = near_dup_reps(kept, near_threshold)
-    sample = quota_sample(docs, reps, per_stratum)
+    sample = quota_sample(
+        docs, reps, per_stratum, method=sample_method, mixture_total=mixture_total
+    )
     packed = pack_bins(docs, sample, shard_size, token_budget)
     return {"gated": gated, "kept": kept, "reps": reps, "sample": sample, "packed": packed}

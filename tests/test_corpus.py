@@ -194,3 +194,39 @@ def test_mixture_sample_flattens_skewed_sources(spark):
     # deterministic: second run picks the identical id set
     again = {r["doc_id"] for r in mixture_sample(df, total=60).collect()}
     assert again == {r["doc_id"] for r in got}
+
+
+def test_corpus_prep_job_gopher_mixture_variants(spark, sf_dir, tmp_path_factory):
+    """--quality gopher / --sample mixture swap stages for the t8/sm2
+    driver-verified definitions; stage counts must equal direct operator
+    invocation, and the variant fingerprint must not reuse default-run
+    stamps."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from otel_kafka_pg_spark.operators.corpus import gopher_filter, mixture_sample
+    from otel_kafka_pg_spark.operators.dedup import exact_dedup
+
+    out = str(tmp_path_factory.mktemp("corpus_job_v2"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_prep.py"),
+           "--input", os.path.join(sf_dir, "documents.parquet"), "--output", out,
+           "--quality", "gopher", "--sample", "mixture", "--mixture-total", "30"]
+    m = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                   .stdout.strip().splitlines()[-1])
+    c = m["counts"]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert c["gated"] == gopher_filter(docs).filter("keep").count()
+    assert c["input"] >= c["gated"] >= c["kept"] >= c["reps"] >= c["sample"] > 0
+    # reproduce the sample stage directly from the job's own reps output
+    reps = spark.read.parquet(os.path.join(out, "reps"))
+    expect = mixture_sample(docs.join(reps, "doc_id"), strata_col="lang", total=30)
+    assert c["sample"] == expect.count()
+    # the variant is a different fingerprint: a default-flag run reuses nothing
+    m2 = json.loads(subprocess.run(cmd[:6], capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert m2["resumed_stages"] == []
