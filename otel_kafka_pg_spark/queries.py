@@ -1850,7 +1850,15 @@ def dp6_corpus_prep_modern(spark, sf_dir):
     α=0.5 temperature mixture sample across sources. Complements dp4 (the
     exact-dedup/cluster/packing chain); every stage is the SAME operator
     function the standalone entries use, so driver-green here certifies
-    the composition, not a re-implementation."""
+    the composition, not a re-implementation.
+
+    Cost shape: as ONE declarative plan the Gopher-survivor subtree is
+    re-evaluated for each downstream reference (~3×; 9.6s warm at sf0.1
+    vs ~1.5s for the standalone stages summed). That recompute-vs-
+    materialize trade is deliberate: the production path for this chain
+    is ``jobs/corpus_prep.py --quality gopher --sample mixture``, which
+    persists each stage's keep-set once and resumes per stage — this
+    entry exists to give the composition an exact one-query oracle."""
     from .operators.corpus import gopher_filter, mixture_sample
     from .operators.dedup import paragraph_dedup
 
