@@ -93,13 +93,16 @@ def main() -> int:
     from otel_kafka_pg_spark.plans import corpus_prep as cp
     from otel_kafka_pg_spark.plans.manifest import input_fingerprint, write_with_summary
 
+    # knobs that the chosen method ignores are normalized OUT of the resume
+    # fingerprint — changing --quality-min under --quality gopher (which
+    # ignores it) must not invalidate every stage stamp
     params = {
-        "quality_min": args.quality_min,
+        "quality_min": args.quality_min if args.quality == "heuristic" else None,
         "quality": args.quality,
         "near_threshold": args.near_threshold,
-        "per_stratum": args.per_stratum,
+        "per_stratum": args.per_stratum if args.sample == "stratified" else None,
         "sample": args.sample,
-        "mixture_total": args.mixture_total,
+        "mixture_total": args.mixture_total if args.sample == "mixture" else None,
         "shard_size": args.shard_size,
         "token_budget": args.token_budget,
     }

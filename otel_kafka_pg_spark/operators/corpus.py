@@ -220,6 +220,12 @@ def mixture_sample(
 
     Within each stratum the quota is filled by the same deterministic
     md5-rank as ``stratified_sample`` (no RNG state to distribute).
+    Every non-empty stratum gets quota ≥ 1 — a floor-rounded share of 0
+    would EXCLUDE a tiny tail source, the exact opposite of temperature
+    flattening's intent. Floor quotas can undershoot ``total`` by up to
+    the stratum count (no largest-remainder top-up: that would need a
+    cross-stratum ranking whose cross-engine determinism buys nothing
+    for a sampling knob that is approximate by nature).
     Shape at scale: the count and quota frames are stratum-sized
     (broadcast); the only data-sized work is one window partitioned by
     the stratum key — parallel across strata."""
@@ -230,7 +236,12 @@ def mixture_sample(
     s_tot = w.agg(F.sum("isq").alias("S"))
     quotas = (
         w.crossJoin(broadcast(s_tot))
-        .withColumn("quota", F.floor(F.lit(total) * F.col("isq") / F.col("S")).cast("long"))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.floor(F.lit(total) * F.col("isq") / F.col("S")).cast("long"), F.lit(1)
+            ),
+        )
         .select(strata_col, "quota")
     )
     win = Window.partitionBy(strata_col).orderBy(

@@ -1740,7 +1740,7 @@ def sm1_stratified_sample(spark, sf_dir):
     "WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source), "
     "w AS (SELECT source, CAST(floor(sqrt(n_s)) AS BIGINT) AS isq FROM c), "
     "s AS (SELECT CAST(sum(isq) AS BIGINT) AS S FROM w), "
-    "q AS (SELECT source, CAST(floor(200 * isq / S) AS BIGINT) AS quota FROM w, s), "
+    "q AS (SELECT source, greatest(CAST(floor(200 * isq / S) AS BIGINT), 1) AS quota FROM w, s), "
     "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source "
     "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
     "SELECT r.source, r.doc_id, r.rn, q.quota FROM r JOIN q USING (source) "
@@ -1837,7 +1837,7 @@ def ds1_importance_ratio(spark, sf_dir):
     "c AS (SELECT source, count(*) AS n_s FROM cl GROUP BY source), "
     "w AS (SELECT source, CAST(floor(sqrt(n_s)) AS BIGINT) AS isq FROM c), "
     "s2 AS (SELECT CAST(sum(isq) AS BIGINT) AS S FROM w), "
-    "q AS (SELECT source, CAST(floor(100 * isq / S) AS BIGINT) AS quota FROM w, s2), "
+    "q AS (SELECT source, greatest(CAST(floor(100 * isq / S) AS BIGINT), 1) AS quota FROM w, s2), "
     "r2 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source "
     "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM cl) "
     "SELECT r2.source, r2.doc_id, r2.rn, q.quota, length(cl2.clean_text) AS n_clean_chars "

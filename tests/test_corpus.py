@@ -226,7 +226,27 @@ def test_corpus_prep_job_gopher_mixture_variants(spark, sf_dir, tmp_path_factory
     reps = spark.read.parquet(os.path.join(out, "reps"))
     expect = mixture_sample(docs.join(reps, "doc_id"), strata_col="lang", total=30)
     assert c["sample"] == expect.count()
+    # knobs inert for the chosen methods (--per-stratum under mixture,
+    # --quality-min under gopher) are normalized out of the fingerprint:
+    # changing them must NOT invalidate the stamps
+    m1b = json.loads(
+        subprocess.run(cmd + ["--per-stratum", "7", "--quality-min", "0.9"],
+                       capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1])
+    assert m1b["resumed_stages"] == ["gated", "kept", "reps", "sample", "packed"]
     # the variant is a different fingerprint: a default-flag run reuses nothing
     m2 = json.loads(subprocess.run(cmd[:6], capture_output=True, text=True, check=True)
                     .stdout.strip().splitlines()[-1])
     assert m2["resumed_stages"] == []
+
+
+def test_mixture_sample_tiny_stratum_never_excluded(spark):
+    """A tail stratum whose floor share is 0 still gets quota 1 — floor
+    rounding must not silently drop a source from the mix."""
+    from otel_kafka_pg_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "head") for i in range(100)] + [(999, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mixture_sample(df, total=5).collect()  # isq 10 vs 1, S=11 -> tiny floor=0
+    tiny = [r for r in got if r["source"] == "tiny"]
+    assert len(tiny) == 1 and tiny[0]["quota"] == 1

@@ -38,6 +38,33 @@ def _reads_sf_tables(fn) -> bool:
 
 CASES = [(n, fn) for n, (fn, _) in _ALL.items() if _reads_sf_tables(fn)]
 
+# every entry the predicate excludes, pinned by name: a future entry that
+# reads sf tables through a helper (no literal "_t(" in its own source)
+# would otherwise drop out of BOTH robustness gates silently — the same
+# failure class as the "_pipe" self-exclusion this gate once had
+_EXPECTED_SYNTH_ONLY = {
+    "p1_pipeline_severity_counts",
+    "p2_pipeline_route_distribution",
+    "p3_pipeline_sink_counts",
+    "st1_stream_ingest_counts",
+    "st2_stream_windowed_severity",
+    "st3_stateful_conversation_state",
+    "st4_stream_dedup",
+    "f10_attr_predicate",
+    "mm1_media_features",
+    "mm1x_media_feature_vectors",
+    "mm2_frame_sample",
+}
+
+
+def test_excluded_entries_are_known_synthetic():
+    excluded = {n for n, (fn, _) in _ALL.items() if not _reads_sf_tables(fn)}
+    assert excluded == _EXPECTED_SYNTH_ONLY, (
+        "gate exclusion set changed — if the new entry truly synthesizes its "
+        "own input, add it here; if it reads sf tables via a helper, make "
+        "'_t(' visible in its source instead"
+    )
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, tmp_path_factory):
