@@ -79,6 +79,8 @@ HEADLINE = [
     "dp5_semantic_dedup",
     "dp6_corpus_prep_modern",
     "t1_text_profile",
+    "bm1_ranked_retrieval",
+    "qc1_classifier_inference",
     "t7_repetition_signals",
     "t8_gopher_quality_filter",
     "px1_pii_redaction",

@@ -80,6 +80,7 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_n: int = 5,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``gram_n``-gram with a
     held-out benchmark set — the decontamination pass run before training
@@ -91,19 +92,170 @@ def benchmark_contamination(
     set is broadcast (eval sets are tiny vs the corpus), so the corpus side
     joins without a shuffle; the final count groups by doc_id only over the
     matched rows (output-sized, not corpus-sized).
+
+    ``hashed_keys=True`` is the 100 TB shape: join on the 8-byte
+    md5-60-bit hash of each gram instead of the gram string, shrinking the
+    broadcast table and the per-row probe key from arbitrary-length text
+    to a fixed-width long (production swaps in xxhash64 — the oracle-exact
+    md5 form is registered as ct2). Distinct grams stay distinct through
+    the hash for counting purposes on BOTH engines (a 60-bit collision
+    would inflate both sides identically, so the oracle equality is exact
+    regardless).
     """
     grams = word_gram_strings(text_col, gram_n)
-    bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram")).distinct()
-    )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
-    )
+    gram_col = F.explode(F.array_distinct(grams)).alias("gram")
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    corpus_grams = corpus.select(F.col(id_col), gram_col)
+    if hashed_keys:
+        from ..functions.text import md5_60bit
+
+        bench_grams = bench_grams.select(md5_60bit(F.col("gram")).alias("gk")).distinct()
+        corpus_grams = corpus_grams.select(id_col, md5_60bit(F.col("gram")).alias("gk"))
+        key = "gk"
+    else:
+        key = "gram"
     return (
-        corpus_grams.join(broadcast(bench_grams), "gram")
+        corpus_grams.join(broadcast(bench_grams), key)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weight_mod: int = 197,
+    weight_bias: int = 98,
+) -> DataFrame:
+    """Hashed-bag-of-words linear classifier INFERENCE — the model-based
+    quality-filtering stage of a modern corpus pipeline (CCNet/FineWeb run
+    a fastText-style linear classifier over every document; this operator
+    is that scoring pass with the model weights frozen into the plan).
+
+    The model here is deterministic by construction so the entry carries
+    an exact DuckDB oracle: feature = md5-60-bit(token) mod ``n_buckets``
+    (the engine-portable hash, functions/text.py:md5_60bit), weight(b) =
+    (b mod ``weight_mod``) - ``weight_bias`` — an integer surrogate for a
+    trained weight vector spanning negative/positive. A real model swaps
+    the weight EXPRESSION for a broadcast (bucket → weight) lookup table
+    joined exactly like ds1's feature frame; nothing else changes.
+
+    Emits (doc_id, n_toks, score_sum, mean_weight, keep): integer token
+    count and weight sum (exact, order-free), their single IEEE division
+    rounded to 6 places, and the threshold verdict ``score_sum >= 0`` —
+    the same integer-sums-plus-one-division discipline as ds1, so every
+    value is bit-equal cross-engine.
+
+    Shape at scale: tokenize → hash → weight is a zero-shuffle per-row
+    expression chain; the only shuffle is the partial-agg'd
+    ``groupBy(doc_id)`` sum, keyed by the id the corpus is already
+    partitioned on downstream. No Python anywhere.
+    """
+    from ..functions.text import md5_60bit
+
+    b = F.pmod(md5_60bit(F.col("tok")), F.lit(n_buckets))
+    w = (F.pmod(b, F.lit(weight_mod)) - F.lit(weight_bias)).cast("long")
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    return (
+        toks.select(id_col, w.alias("w"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("w").alias("score_sum"))
+        .select(
+            id_col,
+            "n_toks",
+            "score_sum",
+            F.round(F.col("score_sum").cast("double") / F.col("n_toks"), 6).alias(
+                "mean_weight"
+            ),
+            (F.col("score_sum") >= 0).alias("keep"),
+        )
+    )
+
+
+def ranked_retrieval(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Ranked full-text retrieval: top-``k`` documents by a TF-IDF-family
+    relevance score for a bag-of-terms query — the search-and-rank surface
+    the reference only approximates with ILIKE substring filters
+    (modules/log/repository SQL, queries f6/q1), generalized to scored
+    retrieval over the corpus.
+
+    Scoring is the log-free quantized-IDF sibling of BM25 (the same trade
+    ds1 documents for DSIR): term weight W_t = floor(N·scale / (df_t+1))
+    as one IEEE division + floor (bit-equal cross-engine), per-doc
+    score_num = Σ_t tf(t,d)·W_t in exact integer arithmetic, and pivoted
+    length normalization at full slope (Singhal et al., s=1): score =
+    round((score_num / dl) · (total_toks / N), 6) — i.e. tf-idf divided
+    by the document's RELATIVE length dl/avgdl. The trailing scalar chain
+    is a fixed ORDER of IEEE ops on exact integers (never an
+    order-dependent float sum), so it is bit-equal cross-engine. BM25's
+    log-idf and saturation curve change the RANKING only through monotone
+    reweighting; where bit-parity is not required they are a two-line
+    swap.
+
+    Shape at scale: retrieval queries are SHORT (a handful of terms), so
+    per-term tf lands as literal aggregate columns of ONE
+    ``groupBy(doc_id)`` pass over the token scan — the only data-sized
+    shuffle. N and the per-term document frequencies reduce that same
+    per-doc frame to ONE row (identical subtree → Catalyst ReuseExchange
+    executes the doc-grouping shuffle once, the ds1 pattern) broadcast
+    back via a 1-row crossJoin; the result is a TakeOrdered top-k, never
+    a global sort. Ties break on doc_id for a unique total order. For
+    LARGE term sets (decontamination-scale) the right shape is the
+    gram/term JOIN form ct1/ct2 already implement, not this wide-literal
+    form.
+
+    N counts INDEXED documents (docs with ≥1 token): token-less rows
+    can't match any query and don't belong in the idf universe.
+    """
+    idx = range(len(query_terms))
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    # stats consumes n_toks (total_toks feeds avgdl) as well as every tf
+    # column, so column pruning leaves this subtree IDENTICAL to per_doc's
+    # main branch and ReuseExchange executes the doc-grouping shuffle once
+    # (plan-guarded in tests/test_corpus.py).
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in idx],
+    )
+
+    def w(i):  # quantized idf: one IEEE division + floor, exact cross-engine
+        return F.floor(
+            F.lit(idf_scale) * F.col("n_docs").cast("double") / (F.col(f"df_{i}") + 1)
+        ).cast("long")
+
+    score_num = sum((F.col(f"tf_{i}") * w(i) for i in idx), F.lit(0).cast("long"))
+    matched = (
+        per_doc.crossJoin(broadcast(stats))
+        .filter(F.greatest(*[F.col(f"tf_{i}") for i in idx], F.lit(0)) > 0)
+        .select(
+            id_col,
+            score_num.alias("score_num"),
+            "n_toks",
+            F.round(
+                (score_num.cast("double") / F.col("n_toks"))
+                * (F.col("total_toks").cast("double") / F.col("n_docs")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return matched.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def stratified_sample(

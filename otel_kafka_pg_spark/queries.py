@@ -1814,6 +1814,91 @@ def ds1_importance_ratio(spark, sf_dir):
     return importance_ratio(d, d.filter(F.col("lang") == "en"))
 
 
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register_extra(
+    "ct2_hashed_contamination",
+    # the 100 TB shape of ct1: the gram join runs on fixed-width md5-60-bit
+    # longs instead of gram strings (production: xxhash64) — same bench/corp
+    # split, same overlap counts. A 60-bit collision would inflate BOTH
+    # engines identically, so the oracle equality is exact regardless.
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS w FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w) - 4), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) "
+    "ELSE []::VARCHAR[] END AS grams FROM t), "
+    f"bench AS (SELECT DISTINCT {_MD5_60.format(x='gram')} AS gk "
+    "FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id < 20)), "
+    f"corp AS (SELECT doc_id, {_MD5_60.format(x='gram')} AS gk "
+    "FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)) "
+    "SELECT c.doc_id, count(*) AS n_overlap FROM corp c JOIN bench b USING (gk) "
+    "GROUP BY c.doc_id",
+)
+def ct2_hashed_contamination(spark, sf_dir):
+    from .operators.corpus import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), hashed_keys=True
+    )
+
+
+@register_extra(
+    "qc1_classifier_inference",
+    # hashed-BoW linear classifier scoring pass (the fastText-style quality
+    # filter of CCNet/FineWeb) with the weight vector frozen as an integer
+    # expression over the bucket id — integer sums + ONE division, exact
+    # cross-engine. See operators/corpus.py:classifier_score.
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), "
+    "'\\s+'), x -> x != '')) AS tok FROM documents), "
+    f"f AS (SELECT doc_id, {_MD5_60.format(x='tok')} % 1024 AS b FROM tok) "
+    "SELECT doc_id, count(*) AS n_toks, CAST(sum((b % 197) - 98) AS BIGINT) AS score_sum, "
+    "round(CAST(sum((b % 197) - 98) AS DOUBLE) / count(*), 6) AS mean_weight, "
+    "(sum((b % 197) - 98) >= 0) AS keep FROM f GROUP BY doc_id",
+)
+def qc1_classifier_inference(spark, sf_dir):
+    from .operators.corpus import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents"))
+
+
+@register_extra(
+    "bm1_ranked_retrieval",
+    # top-20 scored full-text retrieval for a bag-of-terms query — the
+    # ranked generalization of the reference's ILIKE search (f6/q1).
+    # Quantized-IDF weights (floor of one IEEE division) × integer tf sums,
+    # one trailing length-normalizing division: bit-equal cross-engine.
+    # N = docs with ≥1 token (the indexed universe); see
+    # operators/corpus.py:ranked_retrieval for the one-shuffle plan shape.
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), "
+    "'\\s+'), x -> x != '')) AS tok FROM documents), "
+    "pd AS (SELECT doc_id, count(*) AS n_toks, "
+    "sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf0, "
+    "sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf1, "
+    "sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tok GROUP BY doc_id), "
+    "st AS (SELECT count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks, "
+    "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+    "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+    "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), "
+    "s AS (SELECT doc_id, n_toks, n_docs, total_toks, CAST("
+    "tf0 * CAST(floor(1000 * n_docs::DOUBLE / (df0 + 1)) AS BIGINT) + "
+    "tf1 * CAST(floor(1000 * n_docs::DOUBLE / (df1 + 1)) AS BIGINT) + "
+    "tf2 * CAST(floor(1000 * n_docs::DOUBLE / (df2 + 1)) AS BIGINT) AS BIGINT) AS score_num "
+    "FROM pd, st WHERE greatest(tf0, tf1, tf2) > 0) "
+    "SELECT doc_id, score_num, n_toks, "
+    "round((CAST(score_num AS DOUBLE) / n_toks) * (CAST(total_toks AS DOUBLE) / n_docs), 6) "
+    "AS score FROM s ORDER BY score DESC, doc_id ASC LIMIT 20",
+)
+def bm1_ranked_retrieval(spark, sf_dir):
+    from .operators.corpus import ranked_retrieval
+
+    return ranked_retrieval(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=20
+    )
+
+
 @register_extra(
     "dp6_corpus_prep_modern",
     # the late-r4 composite: Gopher quality gate (t8, shared CTEs) →

@@ -250,3 +250,81 @@ def test_mixture_sample_tiny_stratum_never_excluded(spark):
     got = mixture_sample(df, total=5).collect()  # isq 10 vs 1, S=11 -> tiny floor=0
     tiny = [r for r in got if r["source"] == "tiny"]
     assert len(tiny) == 1 and tiny[0]["quota"] == 1
+
+
+def test_hashed_contamination_matches_string_path(spark, sf_dir):
+    """ct2's fixed-width hashed-key join must reproduce ct1's string-join
+    overlap counts exactly (md5-60-bit is injective on these gram sets)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus, bench = d.filter("doc_id >= 20"), d.filter("doc_id < 20")
+    by_str = {r["doc_id"]: r["n_overlap"]
+              for r in benchmark_contamination(corpus, bench).collect()}
+    by_hash = {r["doc_id"]: r["n_overlap"]
+               for r in benchmark_contamination(corpus, bench, hashed_keys=True).collect()}
+    assert by_str == by_hash and len(by_str) > 0
+
+
+def test_hashed_contamination_is_broadcast(spark):
+    bench = _docs(spark, [(0, "a b c d e", "en")])
+    corpus = _docs(spark, [(100, "a b c d e f", "en")])
+    plan = (benchmark_contamination(corpus, bench, hashed_keys=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_classifier_score_matches_hand_computation(spark):
+    """The frozen hashed-BoW linear model is reproducible outside Spark:
+    bucket = md5-60-bit(token) % 1024, weight = bucket % 197 - 98."""
+    import hashlib
+
+    from otel_kafka_pg_spark.operators.corpus import classifier_score
+
+    rows = [(1, "The quick  brown fox", "en"), (2, "lazy dog", "en")]
+    got = {r["doc_id"]: r for r in classifier_score(_docs(spark, rows)).collect()}
+
+    def weight(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1024
+        return b % 197 - 98
+
+    for doc_id, text, _ in rows:
+        toks = text.strip().lower().split()
+        s = sum(weight(t) for t in toks)
+        r = got[doc_id]
+        assert r["n_toks"] == len(toks) and r["score_sum"] == s
+        assert r["mean_weight"] == round(s / len(toks), 6)
+        assert r["keep"] == (s >= 0)
+
+
+def test_ranked_retrieval_ranking_semantics(spark):
+    """Rarer query terms outweigh common ones; non-matching docs are
+    excluded; k cuts on the (score desc, doc_id asc) total order."""
+    from otel_kafka_pg_spark.operators.corpus import ranked_retrieval
+
+    rows = [
+        (1, "rare common filler filler", "en"),    # rare + common
+        (2, "common filler filler filler", "en"),  # common only
+        (3, "common filler filler filler", "en"),
+        (4, "filler filler filler filler", "en"),  # no query term -> excluded
+    ]
+    out = ranked_retrieval(_docs(spark, rows), ["rare", "common"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # doc 1 wins on idf, tie 2<3
+    assert out[0]["score"] > out[1]["score"] == out[2]["score"]
+    # N=4 indexed docs, df(rare)=1, df(common)=3 -> w(rare)=2000, w(common)=1000
+    assert out[0]["score_num"] == 2000 + 1000 and out[1]["score_num"] == 1000
+    top1 = ranked_retrieval(_docs(spark, rows), ["rare", "common"], k=1).collect()
+    assert [r["doc_id"] for r in top1] == [1]
+
+
+def test_ranked_retrieval_plan_one_shuffle_topk(spark, sf_dir):
+    """The wide-literal form: the doc-grouping exchange is executed once
+    (ReuseExchange dedups the stats subtree), the 1-row stats frame comes
+    back as a broadcast, and the top-k is TakeOrdered — no global sort."""
+    from otel_kafka_pg_spark.operators.corpus import ranked_retrieval
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = ranked_retrieval(d, ["spark", "merge", "window"], k=20)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1
