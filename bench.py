@@ -73,6 +73,7 @@ HEADLINE = [
     "dd4x_simhash_fast",
     "dd5b_embedding_lsh_pairs",
     "dd5bx_embedding_lsh_pruned",
+    "dd7_span_dup_fraction",
     "cc1_dedup_clusters",
     "cc2_dedup_clusters_star",
     "dp4_corpus_pipeline_end_to_end",
@@ -84,6 +85,7 @@ HEADLINE = [
     "t7_repetition_signals",
     "t8_gopher_quality_filter",
     "px1_pii_redaction",
+    "ch1_token_chunks",
     "pk1_sequence_packing",
     "aj1_asof_join",
     "mm1_media_features",

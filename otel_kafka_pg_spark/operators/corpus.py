@@ -407,6 +407,47 @@ def mixture_sample(
     )
 
 
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size overlapping windows — the training-sample construction pass
+    that turns long documents into model-context-sized pieces before
+    packing (pk1 then packs the chunks). ``stride`` < ``chunk_size`` keeps
+    ``chunk_size - stride`` tokens of overlap so no span is ever seen
+    only at a window boundary.
+
+    Chunk starts are token positions 1, 1+stride, 2·stride+1, … ≤ n; the
+    final window may be shorter than ``chunk_size`` (the tail is kept —
+    dropping it would silently delete every document's ending). Token-less
+    documents yield no chunks. Returns (doc_id, start, chunk_text,
+    n_chunk_toks) with ``start`` 1-based, a natural unique key with doc_id.
+
+    Shape at scale: pure per-row expressions — sequence → explode → slice —
+    ZERO shuffles; output is ~n_tokens/stride rows per document and the
+    token array never leaves its input partition.
+    """
+    nz = df.select(F.col(id_col), _tokens(text_col).alias("w")).filter(F.size("w") > 0)
+    return nz.select(
+        id_col,
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(stride))).alias("start"),
+    ).select(
+        id_col,
+        "start",
+        F.concat_ws(" ", F.slice("w", F.col("start"), F.lit(chunk_size))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_size), F.size("w") - F.col("start") + 1).alias(
+            "n_chunk_toks"
+        ),
+    )
+
+
 def _hashed_bucket(tok, n_buckets: int):
     """Engine-portable hashed feature bucket: the shared md5-60-bit hash
     (functions/text.py:md5_60bit — one definition for every exactly-oracled

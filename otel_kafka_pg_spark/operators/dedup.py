@@ -278,6 +278,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the span-granular dedup
+    signal of ExactSubstr (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): for every word ``gram_n``-gram
+    occurrence in every document, test whether that exact span occurs
+    anywhere ELSE in the corpus (any document, any position — a repeat
+    within the same document counts, as in ExactSubstr), and emit the
+    per-document duplicated-span fraction. Doc-granular dedup (dd1/dd3/dd4)
+    cannot see a document that is 40% boilerplate and 60% fresh; this
+    operator is the signal that catches it. Lee et al. build suffix arrays
+    on one machine; the distributed re-expression is gram-occurrence
+    frequency counting, exact for spans of length ``gram_n``.
+
+    Returns (doc_id, n_grams, n_dup, dup_frac): total gram positions,
+    positions whose span occurs >1 time corpus-wide, and their single
+    IEEE division rounded to 6 places (exact cross-engine; oracle dd7).
+
+    Shape at scale: grams hash to fixed-width md5-60-bit longs
+    (production: xxhash64) BEFORE any shuffle, so both shuffles — the
+    gram-frequency partial-agg and the occurrence⋈frequency join, each
+    keyed by the 8-byte hash — ship (id, hash) pairs, never span text.
+    The frequency side partial-aggregates to one row per distinct gram;
+    no stage is quadratic.
+    """
+    from ..functions.text import md5_60bit
+    from .corpus import word_gram_strings
+
+    occ = df.select(
+        F.col(id_col), F.explode(word_gram_strings(text_col, gram_n)).alias("gram")
+    ).select(id_col, md5_60bit(F.col("gram")).alias("gh"))
+    freq = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+    n_dup = F.sum((F.col("n_occ") > 1).cast("long"))
+    return (
+        occ.join(freq, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), n_dup.alias("n_dup"))
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
 
 
 _UNBOUNDED_PAIRS_CAP = 10_000

@@ -1818,6 +1818,51 @@ _MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 @register_extra(
+    "dd7_span_dup_fraction",
+    # ExactSubstr-style span-granular dedup signal: fraction of each doc's
+    # word-3-gram occurrences that occur >1 time corpus-wide (any doc, any
+    # position — same-doc repeats count, as in Lee et al. 2022). Grams
+    # hash to md5-60-bit longs before any shuffle; see
+    # operators/dedup.py:span_dup_fraction.
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS w FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w) - 2), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+    "ELSE []::VARCHAR[] END AS grams FROM t), "
+    f"h AS (SELECT doc_id, {_MD5_60.format(x='gram')} AS gh "
+    "FROM (SELECT doc_id, unnest(grams) AS gram FROM g)), "
+    "f AS (SELECT gh, count(*) AS n_occ FROM h GROUP BY gh) "
+    "SELECT doc_id, count(*) AS n_grams, "
+    "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+    "round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) "
+    "AS dup_frac FROM h JOIN f USING (gh) GROUP BY doc_id",
+)
+def dd7_span_dup_fraction(spark, sf_dir):
+    from .operators.dedup import span_dup_fraction
+
+    return span_dup_fraction(_t(spark, sf_dir, "documents"), gram_n=3)
+
+
+@register_extra(
+    "ch1_token_chunks",
+    # context-window chunking (size 8, stride 6 — 2-token overlap): starts
+    # 1, 7, 13, … ≤ n, tail window kept short, token-less docs yield no
+    # chunks. Zero-shuffle; see operators/corpus.py:token_chunks.
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS w FROM documents), "
+    "nz AS (SELECT * FROM t WHERE len(w) > 0), "
+    "s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 6)) AS start FROM nz) "
+    "SELECT doc_id, start, array_to_string(list_slice(w, start, start + 7), ' ') "
+    "AS chunk_text, least(8, len(w) - start + 1) AS n_chunk_toks FROM s",
+)
+def ch1_token_chunks(spark, sf_dir):
+    from .operators.corpus import token_chunks
+
+    return token_chunks(_t(spark, sf_dir, "documents"), chunk_size=8, stride=6)
+
+
+@register_extra(
     "ct2_hashed_contamination",
     # the 100 TB shape of ct1: the gram join runs on fixed-width md5-60-bit
     # longs instead of gram strings (production: xxhash64) — same bench/corp

@@ -328,3 +328,19 @@ def test_ranked_retrieval_plan_one_shuffle_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1
+
+
+def test_token_chunks_windows_and_tail(spark):
+    """Starts step by stride; the tail window is kept short; token-less
+    docs yield no chunks; zero shuffles in the plan."""
+    from otel_kafka_pg_spark.operators.corpus import token_chunks
+
+    rows = [(1, "a b c d e f g h i j", "en"), (2, "   ", "en")]
+    q = token_chunks(_docs(spark, rows), chunk_size=4, stride=3)
+    got = [(r["start"], r["chunk_text"], r["n_chunk_toks"])
+           for r in q.orderBy("doc_id", "start").collect()]
+    assert got == [
+        (1, "a b c d", 4), (4, "d e f g", 4), (7, "g h i j", 4), (10, "j", 1),
+    ]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -559,3 +559,26 @@ def test_paragraph_dedup_separator_is_literal_not_regex(spark):
                            sep="||").collect()}
     assert got[0]["clean_text"] == "a||b" and got[0]["n_removed"] == 1
     assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 1
+
+
+def test_span_dup_fraction_planted_spans(spark):
+    """ExactSubstr semantics: a span shared ACROSS docs flags both sides;
+    a span repeated WITHIN one doc flags every occurrence; fresh spans
+    don't. gram_n=3, so a doc is (len-2) gram positions."""
+    from otel_kafka_pg_spark.operators.dedup import span_dup_fraction
+
+    rows = [
+        (1, "x y z q r"),   # shares "x y z" with doc 3 -> 1 of 3 dup
+        (2, "a a a a"),     # "a a a" twice internally -> 2 of 2 dup
+        (3, "x y z w v"),   # shares "x y z" with doc 1 -> 1 of 3 dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dup_fraction(df, gram_n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_dup"]) == (3, 1)
+    assert (got[2]["n_grams"], got[2]["n_dup"]) == (2, 2)
+    assert (got[3]["n_grams"], got[3]["n_dup"]) == (3, 1)
+    assert got[2]["dup_frac"] == 1.0 and got[1]["dup_frac"] == round(1 / 3, 6)
+    # shuffle payloads are hashes: no gram STRING survives past the explode
+    plan = span_dup_fraction(df, gram_n=3)._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert not re.search(r"Exchange hashpartitioning\(gram", plan)
