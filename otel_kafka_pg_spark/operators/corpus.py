@@ -103,16 +103,20 @@ def benchmark_contamination(
     regardless).
     """
     grams = word_gram_strings(text_col, gram_n)
-    gram_col = F.explode(F.array_distinct(grams)).alias("gram")
-    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
-    corpus_grams = corpus.select(F.col(id_col), gram_col)
+    bench_grams = benchmark.select(F.explode(grams).alias("gram"))
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
     if hashed_keys:
         from ..functions.text import md5_60bit
 
+        # hash BEFORE the distinct so the only benchmark-side aggregation
+        # runs on 8-byte keys — never a wide-string exchange
         bench_grams = bench_grams.select(md5_60bit(F.col("gram")).alias("gk")).distinct()
         corpus_grams = corpus_grams.select(id_col, md5_60bit(F.col("gram")).alias("gk"))
         key = "gk"
     else:
+        bench_grams = bench_grams.distinct()
         key = "gram"
     return (
         corpus_grams.join(broadcast(bench_grams), key)
@@ -153,9 +157,7 @@ def classifier_score(
     ``groupBy(doc_id)`` sum, keyed by the id the corpus is already
     partitioned on downstream. No Python anywhere.
     """
-    from ..functions.text import md5_60bit
-
-    b = F.pmod(md5_60bit(F.col("tok")), F.lit(n_buckets))
+    b = _hashed_bucket(F.col("tok"), n_buckets)  # THE shared bucket definition
     w = (F.pmod(b, F.lit(weight_mod)) - F.lit(weight_bias)).cast("long")
     toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     return (
@@ -216,6 +218,8 @@ def ranked_retrieval(
     N counts INDEXED documents (docs with ≥1 token): token-less rows
     can't match any query and don't belong in the idf universe.
     """
+    if not query_terms:
+        raise ValueError("ranked_retrieval needs at least one query term")
     idx = range(len(query_terms))
     toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     per_doc = toks.groupBy(id_col).agg(
@@ -421,21 +425,30 @@ def token_chunks(
     ``chunk_size - stride`` tokens of overlap so no span is ever seen
     only at a window boundary.
 
-    Chunk starts are token positions 1, 1+stride, 2·stride+1, … ≤ n; the
-    final window may be shorter than ``chunk_size`` (the tail is kept —
-    dropping it would silently delete every document's ending). Token-less
-    documents yield no chunks. Returns (doc_id, start, chunk_text,
-    n_chunk_toks) with ``start`` 1-based, a natural unique key with doc_id.
+    Chunk starts are token positions 1, 1+stride, 2·stride+1, … — but a
+    start whose window would be fully CONTAINED in the previous window
+    (tail length ≤ chunk_size − stride) is dropped: the overlap already
+    covers the document's ending, and emitting the sub-span would
+    duplicate training content (the thing dedup exists to remove). So a
+    start s > 1 survives only while s ≤ n − chunk_size + stride; the
+    last kept window may still be shorter than ``chunk_size``.
+    Token-less documents yield no chunks. Returns (doc_id, start,
+    chunk_text, n_chunk_toks) with ``start`` 1-based, a natural unique
+    key with doc_id.
 
-    Shape at scale: pure per-row expressions — sequence → explode → slice —
-    ZERO shuffles; output is ~n_tokens/stride rows per document and the
-    token array never leaves its input partition.
+    Shape at scale: pure per-row expressions — sequence → filter →
+    explode → slice — ZERO shuffles; output is ~n_tokens/stride rows per
+    document and the token array never leaves its input partition.
     """
     nz = df.select(F.col(id_col), _tokens(text_col).alias("w")).filter(F.size("w") > 0)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("w"), F.lit(stride)),
+        lambda s: (s == 1) | (s <= F.size("w") - chunk_size + stride),
+    )
     return nz.select(
         id_col,
         "w",
-        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(stride))).alias("start"),
+        F.explode(starts).alias("start"),
     ).select(
         id_col,
         "start",

@@ -301,11 +301,12 @@ def span_dup_fraction(
     IEEE division rounded to 6 places (exact cross-engine; oracle dd7).
 
     Shape at scale: grams hash to fixed-width md5-60-bit longs
-    (production: xxhash64) BEFORE any shuffle, so both shuffles — the
-    gram-frequency partial-agg and the occurrence⋈frequency join, each
-    keyed by the 8-byte hash — ship (id, hash) pairs, never span text.
-    The frequency side partial-aggregates to one row per distinct gram;
-    no stage is quadratic.
+    (production: xxhash64) BEFORE any shuffle, so no shuffle ever ships
+    span text. THREE exchanges total: the gram-frequency partial-agg and
+    the occurrence⋈frequency join (both keyed by the 8-byte hash, the
+    frequency side collapsing to one row per task × distinct gram), then
+    the final per-doc count keyed by doc_id — itself partial-agg'd, so
+    it ships at most one row per (task, doc). No stage is quadratic.
     """
     from ..functions.text import md5_60bit
     from .corpus import word_gram_strings

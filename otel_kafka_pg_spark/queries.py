@@ -1847,12 +1847,15 @@ def dd7_span_dup_fraction(spark, sf_dir):
 @register_extra(
     "ch1_token_chunks",
     # context-window chunking (size 8, stride 6 — 2-token overlap): starts
-    # 1, 7, 13, … ≤ n, tail window kept short, token-less docs yield no
-    # chunks. Zero-shuffle; see operators/corpus.py:token_chunks.
+    # 1, 7, 13, …, dropping any start whose window is fully contained in
+    # the previous one (s > 1 survives only while s <= n - 8 + 6); tail
+    # window kept short, token-less docs yield no chunks. Zero-shuffle;
+    # see operators/corpus.py:token_chunks.
     "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
     "x -> x != '') AS w FROM documents), "
     "nz AS (SELECT * FROM t WHERE len(w) > 0), "
-    "s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 6)) AS start FROM nz) "
+    "s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 6), "
+    "s -> s = 1 OR s <= len(w) - 8 + 6)) AS start FROM nz) "
     "SELECT doc_id, start, array_to_string(list_slice(w, start, start + 7), ' ') "
     "AS chunk_text, least(8, len(w) - start + 1) AS n_chunk_toks FROM s",
 )

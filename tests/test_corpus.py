@@ -331,16 +331,26 @@ def test_ranked_retrieval_plan_one_shuffle_topk(spark, sf_dir):
 
 
 def test_token_chunks_windows_and_tail(spark):
-    """Starts step by stride; the tail window is kept short; token-less
-    docs yield no chunks; zero shuffles in the plan."""
+    """Starts step by stride; a tail window fully contained in the
+    previous window is DROPPED (it would duplicate training content); a
+    tail adding new coverage is kept short; token-less docs yield no
+    chunks; zero shuffles in the plan."""
     from otel_kafka_pg_spark.operators.corpus import token_chunks
 
-    rows = [(1, "a b c d e f g h i j", "en"), (2, "   ", "en")]
+    rows = [
+        (1, "a b c d e f g h i j", "en"),    # n=10: start 10 ("j") contained in 7..10 -> dropped
+        (2, "   ", "en"),                     # token-less -> nothing
+        (3, "a b c d e f g h i j k", "en"),  # n=11: start 10 covers token 11 -> kept, short
+        (4, "a b", "en"),                     # n < chunk_size -> single short window
+    ]
     q = token_chunks(_docs(spark, rows), chunk_size=4, stride=3)
-    got = [(r["start"], r["chunk_text"], r["n_chunk_toks"])
+    got = [(r["doc_id"], r["start"], r["chunk_text"], r["n_chunk_toks"])
            for r in q.orderBy("doc_id", "start").collect()]
     assert got == [
-        (1, "a b c d", 4), (4, "d e f g", 4), (7, "g h i j", 4), (10, "j", 1),
+        (1, 1, "a b c d", 4), (1, 4, "d e f g", 4), (1, 7, "g h i j", 4),
+        (3, 1, "a b c d", 4), (3, 4, "d e f g", 4), (3, 7, "g h i j", 4),
+        (3, 10, "j k", 2),
+        (4, 1, "a b", 2),
     ]
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
