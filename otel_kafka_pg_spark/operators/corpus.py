@@ -440,6 +440,12 @@ def token_chunks(
     explode → slice — ZERO shuffles; output is ~n_tokens/stride rows per
     document and the token array never leaves its input partition.
     """
+    if not 1 <= stride <= chunk_size:
+        raise ValueError(
+            "token_chunks needs 1 <= stride <= chunk_size: stride > chunk_size "
+            "would silently skip tokens between windows (subsampling is a "
+            "filter's job, not the chunker's)"
+        )
     nz = df.select(F.col(id_col), _tokens(text_col).alias("w")).filter(F.size("w") > 0)
     starts = F.filter(
         F.sequence(F.lit(1), F.size("w"), F.lit(stride)),

@@ -354,3 +354,11 @@ def test_token_chunks_windows_and_tail(spark):
     ]
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_chunks_rejects_gapping_stride(spark):
+    import pytest as _pytest
+    from otel_kafka_pg_spark.operators.corpus import token_chunks
+
+    with _pytest.raises(ValueError, match="stride"):
+        token_chunks(_docs(spark, [(1, "a b c", "en")]), chunk_size=2, stride=3)

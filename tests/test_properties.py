@@ -126,3 +126,41 @@ def test_merge_upsert_matches_dict_merge(spark, base, updates):
     )
     got = {r["id"]: r["value"] for r in merge_upsert(spark, b, u, "id", ["value"]).collect()}
     assert got == {**base, **updates}
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=9),
+    st.integers(min_value=0, max_value=8),
+)
+def test_token_chunks_coverage_and_no_containment(spark, doc_lens, chunk_size, overlap):
+    """Invariants for any valid (chunk_size, stride=chunk_size-overlap):
+    every token position of every non-empty doc is covered by >= 1
+    window; no window's span is contained in another window of the same
+    doc; n_chunk_toks is the true clamped width. (stride > chunk_size is
+    rejected by the operator — guard pinned in test_corpus.)"""
+    from otel_kafka_pg_spark.operators.corpus import token_chunks
+
+    stride = max(1, chunk_size - overlap)
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en") for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = token_chunks(df, chunk_size=chunk_size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["start"])
+        if n == 0:
+            assert chunks == []
+            continue
+        spans = [(r["start"], min(n, r["start"] + chunk_size - 1)) for r in chunks]
+        covered = set()
+        for (s, e), r in zip(spans, chunks):
+            assert r["n_chunk_toks"] == e - s + 1
+            assert r["chunk_text"] == " ".join(f"t{j}" for j in range(s - 1, e))
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1)), (n, chunk_size, stride, spans)
+        for a in spans:
+            assert not any(b != a and b[0] <= a[0] and a[1] <= b[1] for b in spans), spans
