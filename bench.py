@@ -74,11 +74,13 @@ HEADLINE = [
     "dd5b_embedding_lsh_pairs",
     "dd5bx_embedding_lsh_pruned",
     "dd7_span_dup_fraction",
+    "dd7x_span_dup_fast",
     "cc1_dedup_clusters",
     "cc2_dedup_clusters_star",
     "dp4_corpus_pipeline_end_to_end",
     "dp5_semantic_dedup",
     "dp6_corpus_prep_modern",
+    "dp7_chunk_pack",
     "t1_text_profile",
     "bm1_ranked_retrieval",
     "qc1_classifier_inference",

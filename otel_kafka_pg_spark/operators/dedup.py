@@ -283,6 +283,7 @@ def span_dup_fraction(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_n: int = 3,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the span-granular dedup
     signal of ExactSubstr (Lee et al. 2022, "Deduplicating Training Data
@@ -307,13 +308,18 @@ def span_dup_fraction(
     frequency side collapsing to one row per task × distinct gram), then
     the final per-doc count keyed by doc_id — itself partial-agg'd, so
     it ships at most one row per (task, doc). No stage is quadratic.
+
+    ``hash_impl``: "md5" is the engine-portable md5-60-bit hash (exact
+    DuckDB oracle, dd7); "xxhash64" is the production path (codegen, no
+    digest cost — the dd4/dd4x, t6/t6x split), rows-only checkable.
     """
     from ..functions.text import md5_60bit
     from .corpus import word_gram_strings
 
+    hasher = md5_60bit if hash_impl == "md5" else F.xxhash64
     occ = df.select(
         F.col(id_col), F.explode(word_gram_strings(text_col, gram_n)).alias("gram")
-    ).select(id_col, md5_60bit(F.col("gram")).alias("gh"))
+    ).select(id_col, hasher(F.col("gram")).alias("gh"))
     freq = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
     n_dup = F.sum((F.col("n_occ") > 1).cast("long"))
     return (

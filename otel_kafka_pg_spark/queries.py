@@ -1844,18 +1844,35 @@ def dd7_span_dup_fraction(spark, sf_dir):
     return span_dup_fraction(_t(spark, sf_dir, "documents"), gram_n=3)
 
 
+@register_extra("dd7x_span_dup_fast", None)  # xxhash64 production path → rows-only
+def dd7x_span_dup_fast(spark, sf_dir):
+    # the dd4/dd4x split: same plan, codegen xxhash64 gram keys instead of
+    # the md5 digest — bench carries both so the oracle tax stays visible
+    from .operators.dedup import span_dup_fraction
+
+    return span_dup_fraction(
+        _t(spark, sf_dir, "documents"), gram_n=3, hash_impl="xxhash64"
+    )
+
+
+_CH1_CTES = (
+    "t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS w FROM documents), "
+    "nz AS (SELECT * FROM t WHERE len(w) > 0), "
+    "s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 6), "
+    "s -> s = 1 OR s <= len(w) - 8 + 6)) AS start FROM nz)"
+)
+
+
 @register_extra(
     "ch1_token_chunks",
     # context-window chunking (size 8, stride 6 — 2-token overlap): starts
     # 1, 7, 13, …, dropping any start whose window is fully contained in
     # the previous one (s > 1 survives only while s <= n - 8 + 6); tail
     # window kept short, token-less docs yield no chunks. Zero-shuffle;
-    # see operators/corpus.py:token_chunks.
-    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-    "x -> x != '') AS w FROM documents), "
-    "nz AS (SELECT * FROM t WHERE len(w) > 0), "
-    "s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 6), "
-    "s -> s = 1 OR s <= len(w) - 8 + 6)) AS start FROM nz) "
+    # see operators/corpus.py:token_chunks. The CTEs are shared verbatim
+    # with dp7's composed oracle.
+    f"WITH {_CH1_CTES} "
     "SELECT doc_id, start, array_to_string(list_slice(w, start, start + 7), ' ') "
     "AS chunk_text, least(8, len(w) - start + 1) AS n_chunk_toks FROM s",
 )
@@ -1863,6 +1880,48 @@ def ch1_token_chunks(spark, sf_dir):
     from .operators.corpus import token_chunks
 
     return token_chunks(_t(spark, sf_dir, "documents"), chunk_size=8, stride=6)
+
+
+@register_extra(
+    "dp7_chunk_pack",
+    # the sample-construction tail of the corpus pipeline end-to-end:
+    # documents → context windows (ch1's exact definition, composed CTEs)
+    # → per-shard greedy packing into 64-token training bins (pk1's
+    # streaming packer over (doc_id, start) order). Chunking is
+    # zero-shuffle; packing is one shard-partitioned window — never a
+    # global sort.
+    f"WITH {_CH1_CTES}, "
+    "c AS (SELECT doc_id, start, least(8, len(w) - start + 1) AS n_chunk_toks, "
+    "CAST(floor(doc_id / 128) AS BIGINT) AS shard FROM s), "
+    "p AS (SELECT shard, doc_id, start, n_chunk_toks, "
+    "coalesce(sum(n_chunk_toks) OVER (PARTITION BY shard ORDER BY doc_id, start "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM c) "
+    "SELECT shard, CAST(floor(prev / 64) AS BIGINT) AS bin_id, "
+    "count(*) AS n_chunks, CAST(sum(n_chunk_toks) AS BIGINT) AS n_tokens "
+    "FROM p GROUP BY shard, bin_id",
+)
+def dp7_chunk_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.corpus import token_chunks
+
+    chunks = token_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=8, stride=6
+    ).withColumn("shard", F.floor(F.col("doc_id") / 128))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_chunk_toks").over(w), F.lit(0))
+    return (
+        chunks.withColumn("bin_id", F.floor(prev / 64))
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_toks").alias("n_tokens"),
+        )
+    )
 
 
 @register_extra(

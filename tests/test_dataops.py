@@ -582,3 +582,15 @@ def test_span_dup_fraction_planted_spans(spark):
     plan = span_dup_fraction(df, gram_n=3)._jdf.queryExecution().executedPlan().toString()
     import re
     assert not re.search(r"Exchange hashpartitioning\(gram", plan)
+
+
+def test_span_dup_fast_twin_matches_md5_path(spark, sf_dir):
+    """dd7x (xxhash64 production keys) must reproduce dd7's md5-path
+    frame exactly — both hashes are collision-free on these gram sets, so
+    only the key REPRESENTATION differs, never the counts."""
+    from otel_kafka_pg_spark.operators.dedup import span_dup_fraction
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = span_dup_fraction(d, gram_n=3)
+    b = span_dup_fraction(d, gram_n=3, hash_impl="xxhash64")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
