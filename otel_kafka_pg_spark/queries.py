@@ -2507,6 +2507,47 @@ def st4_stream_dedup(spark, sf_dir):
     )
 
 
+@register_extra(
+    "st5_stream_stream_join",
+    # stream-STREAM event-time interval join (trace turns ⋈ log turns of
+    # the same conversation within 10s): the oracle is the equivalent
+    # batch interval join over the same deterministic parquet — exact,
+    # because an INNER streaming join emits precisely the matching pairs
+    # regardless of trigger boundaries. See
+    # streaming/stream_pipeline.py:stream_trace_log_join.
+    f"WITH {_PIPE_SQL_CTE} "
+    "SELECT tr.conv_id, tr.turn_idx AS trace_turn, lg.turn_idx AS log_turn, "
+    "tr.ts AS trace_ts, lg.ts AS log_ts "
+    "FROM routed tr JOIN routed lg ON tr.conv_id = lg.conv_id "
+    "AND lg.ts >= tr.ts AND lg.ts <= tr.ts + INTERVAL 10 SECOND "
+    "WHERE tr.signal_type = 'trace' AND lg.signal_type = 'log'",
+)
+def st5_stream_stream_join(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources.synth import load_or_synth_transcripts
+    from .streaming.stream_pipeline import stream_trace_log_join
+
+    src = tempfile.mkdtemp(prefix="st5_src_")
+    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    try:
+        q = (
+            stream_trace_log_join(spark, src, max_lag_seconds=10)
+            .writeStream.format("memory")
+            .queryName("st5_join_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.sql("SELECT * FROM st5_join_pairs")
+
+
 @register(
     "f10_attr_predicate",
     # the GIN-index analog (reference schema.go:59,:80): an ad-hoc JSON

@@ -244,3 +244,62 @@ def stream_deduped_turns(
         .withWatermark("ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["row_id"])
     )
+
+
+def stream_trace_log_join(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_lag_seconds: int = 10,
+    parse_impl: str = "native",
+) -> DataFrame:
+    """Stream-STREAM event-time interval join: correlate every trace turn
+    with the log turns of the same conversation that arrive within
+    ``max_lag_seconds`` after it — the streaming twin of the batch join
+    family (j1/j2 correlate logs to traces at rest; this correlates them
+    in flight). The reference has no streaming join at all; its consumer
+    correlates only at the sink via Postgres lookups after landing.
+
+    Both sides derive from one source stream (parse → classify, the
+    pipeline's own DAG) and carry their own event-time watermark; the join
+    condition bounds log time to [trace_ts, trace_ts + lag], which is what
+    lets Structured Streaming GC both sides' state — without the range
+    bound the state store would grow with the whole stream. Inner join, so
+    matches append as they form (no finalization wait).
+
+    Shape at scale: state per side ≈ watermark-window × arrival rate,
+    partitioned by the equality key (conv_id); the range condition prunes
+    within each key's state. Returns (conv_id, trace_turn, log_turn,
+    trace_ts, log_ts) as the streaming frame (caller starts the sink).
+    """
+    from ..functions.parse import parse_turns
+    from ..operators.route import classify_signal
+
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    routed = classify_signal(parse_turns(stream, impl=parse_impl))
+    traces = (
+        routed.filter(F.col("signal_type") == "trace")
+        .select(
+            F.col("conv_id").alias("t_conv"),
+            F.col("turn_idx").alias("trace_turn"),
+            F.col("ts").alias("trace_ts"),
+        )
+        .withWatermark("trace_ts", watermark)
+    )
+    logs = (
+        routed.filter(F.col("signal_type") == "log")
+        .select(
+            F.col("conv_id").alias("l_conv"),
+            F.col("turn_idx").alias("log_turn"),
+            F.col("ts").alias("log_ts"),
+        )
+        .withWatermark("log_ts", watermark)
+    )
+    cond = (
+        (F.col("t_conv") == F.col("l_conv"))
+        & (F.col("log_ts") >= F.col("trace_ts"))
+        & (F.col("log_ts") <= F.col("trace_ts") + F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS"))
+    )
+    return traces.join(logs, cond, "inner").select(
+        F.col("t_conv").alias("conv_id"), "trace_turn", "log_turn", "trace_ts", "log_ts"
+    )

