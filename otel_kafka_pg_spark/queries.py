@@ -84,10 +84,19 @@ def register_extra(name: str, oracle: str | None):
 # components, exact recursive-CTE oracle) takes the slot of tpch_q1, and
 # st4_stream_dedup (streaming dropDuplicatesWithinWatermark redelivery
 # drill) takes the slot of a6_service_stats — both displaced entries were
-# driver-green r1+r2+r3 and rotate to extras. Final late-r4 swap: the
+# driver-green r1+r2+r3 and rotate to extras. Late-r4 swap: the
 # Gopher repetition/quality filters t7/t8 take the slots of
 # dd4b_simhash_md5_values and t1_token_stats (each an exact twin of an
 # in-window entry — dd4 and t1_text_profile — and driver-green in r3).
+# FINAL late-r4 rotation (same principle as the r3-verdict item 2): the
+# seven new exactly-oracled operators — ct2 hashed decontamination, qc1
+# classifier inference, bm1 ranked retrieval, dd7 span-dup fraction, ch1
+# token chunking, dp7 chunk→pack, st5 stream-stream interval join — take
+# the slots of seven r3-driver-green entries (t2, t3, t4, dd1, e1b, a7,
+# c1 — every one hash-green in CORRECTNESS_r03, rotated to extras where
+# the local DuckDB replica keeps gating them), so every operator family
+# added this round faces the real driver in r4. The window is now 100%
+# oracled (zero rows-only entries).
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -128,15 +137,15 @@ DRIVER_ORDER = [
     "px1_pii_redaction",
     "t7_repetition_signals",
     "t8_gopher_quality_filter",
-    "t2_lang_id",
-    "t3_fingerprint",
-    "t4_quality_score",
+    "ct2_hashed_contamination",
+    "qc1_classifier_inference",
+    "bm1_ranked_retrieval",
     "st3_stateful_conversation_state",
-    "e1b_cosine_topk_pandas",
-    "dd1_exact_dedup",
+    "ch1_token_chunks",
+    "dd7_span_dup_fraction",
     "dd3b_minhash_lsh_highsim",
-    "a7_service_metrics_percentiles",
-    "c1_rollup",
+    "dp7_chunk_pack",
+    "st5_stream_stream_join",
     "j3_broadcast_enrich",
     "aj1_asof_join",
 ]
@@ -321,7 +330,7 @@ def a6_service_stats(spark, sf_dir):
     return agg.service_stats(_t(spark, sf_dir, "lineitem"))
 
 
-@register(
+@register_extra(
     "a7_service_metrics_percentiles",
     "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt, round(avg(l_extendedprice), 3) AS avg_duration, "
     "round(quantile_cont(l_extendedprice, 0.95), 3) AS p95, "
@@ -408,7 +417,7 @@ def tpch_q1(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "c1_rollup",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
     "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
@@ -1000,7 +1009,7 @@ def sc3_json_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "dd1_exact_dedup",
     "SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
     "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
@@ -1260,7 +1269,7 @@ def t1_token_stats(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "t2_lang_id",
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), "
     "hits AS (SELECT doc_id, "
@@ -1327,7 +1336,7 @@ def sc4_numeric_stats(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "t3_fingerprint",
     "SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
 )
@@ -1349,7 +1358,7 @@ _QUALITY_SQL_CTE = (
 )
 
 
-@register(
+@register_extra(
     "t4_quality_score",
     f"WITH {_QUALITY_SQL_CTE} SELECT doc_id, quality FROM quality",
 )
@@ -1817,7 +1826,7 @@ def ds1_importance_ratio(spark, sf_dir):
 _MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
-@register_extra(
+@register(
     "dd7_span_dup_fraction",
     # ExactSubstr-style span-granular dedup signal: fraction of each doc's
     # word-3-gram occurrences that occur >1 time corpus-wide (any doc, any
@@ -1864,7 +1873,7 @@ _CH1_CTES = (
 )
 
 
-@register_extra(
+@register(
     "ch1_token_chunks",
     # context-window chunking (size 8, stride 6 — 2-token overlap): starts
     # 1, 7, 13, …, dropping any start whose window is fully contained in
@@ -1882,7 +1891,7 @@ def ch1_token_chunks(spark, sf_dir):
     return token_chunks(_t(spark, sf_dir, "documents"), chunk_size=8, stride=6)
 
 
-@register_extra(
+@register(
     "dp7_chunk_pack",
     # the sample-construction tail of the corpus pipeline end-to-end:
     # documents → context windows (ch1's exact definition, composed CTEs)
@@ -1924,7 +1933,7 @@ def dp7_chunk_pack(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "ct2_hashed_contamination",
     # the 100 TB shape of ct1: the gram join runs on fixed-width md5-60-bit
     # longs instead of gram strings (production: xxhash64) — same bench/corp
@@ -1952,7 +1961,7 @@ def ct2_hashed_contamination(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "qc1_classifier_inference",
     # hashed-BoW linear classifier scoring pass (the fastText-style quality
     # filter of CCNet/FineWeb) with the weight vector frozen as an integer
@@ -1971,7 +1980,7 @@ def qc1_classifier_inference(spark, sf_dir):
     return classifier_score(_t(spark, sf_dir, "documents"))
 
 
-@register_extra(
+@register(
     "bm1_ranked_retrieval",
     # top-20 scored full-text retrieval for a bag-of-terms query — the
     # ranked generalization of the reference's ILIKE search (f6/q1).
@@ -2145,7 +2154,7 @@ def e1_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
-@register("e1b_cosine_topk_pandas", _E1_ORACLE)
+@register_extra("e1b_cosine_topk_pandas", _E1_ORACLE)
 def e1b_cosine_topk_pandas(spark, sf_dir):
     # same oracle as e1: the Arrow/BLAS twin must produce identical results
     return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
@@ -2507,7 +2516,7 @@ def st4_stream_dedup(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "st5_stream_stream_join",
     # stream-STREAM event-time interval join (trace turns ⋈ log turns of
     # the same conversation within 10s): the oracle is the equivalent
