@@ -57,6 +57,42 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     )
 
 
+def vocab_oov_stats(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-k
+    vocabulary — the tokenizer-coverage check run before committing to a
+    vocab size (a high OOV tail means the tokenizer will shred rare words
+    into bytes and inflate sequence length).
+
+    Two passes over the tokens, zero driver round-trips: pass 1 is
+    ``vocab_topk`` (explode → partial-agg → TakeOrdered, k rows total);
+    pass 2 re-explodes and LEFT JOINs the k-row vocab — broadcast by
+    construction (k ≤ thousands), so the big side never shuffles by token;
+    the only wide exchange is the final groupBy(doc_id), whose key is the
+    corpus's natural partition key. ``oov_rate`` is one IEEE division of
+    two exact integers (cross-engine hash-stable).
+
+    Columns: doc_id, n_tokens, n_oov, oov_rate. Documents with zero
+    tokens produce no row (no tokens → coverage undefined), matching the
+    GROUP BY semantics of the SQL oracle.
+    """
+    vocab = vocab_topk(df, text_col, k).select(F.col("token").alias("_v_token"))
+    toks = df.select(F.col("doc_id"), F.explode(_tokens(text_col)).alias("token"))
+    return (
+        toks.join(broadcast(vocab), toks.token == F.col("_v_token"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_v_token").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
 def word_gram_strings(text_col: str, n: int = 5):
     """Word n-grams as strings via the shared zip-of-shifted-slices gram
     builder (functions/text.py:_gram_structs — the O(len) shape; a

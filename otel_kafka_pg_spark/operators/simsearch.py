@@ -222,3 +222,41 @@ def lsh_bucket_topk(
     buckets = probe_buckets(query, bits, seed, n_probe)
     bucketed = drop_null_vectors(df, vec_col).withColumn("_bucket", bucketize(F.col(vec_col)))
     return cosine_topk(bucketed.filter(F.col("_bucket").isin(buckets)), query, k, vec_col, id_col)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int8-style scalar quantization — the storage
+    path a 100 TB embedding corpus actually ships (4 B float32 → 1 B int8 =
+    4× smaller shuffles/scans for the ANN candidate stage).
+
+    q_i = floor(v_i * qmax / max|v| + 0.5) with qmax = 2^(bits-1) - 1
+    (127 for int8), scale = max|v| / qmax per vector. Dequantization is
+    q_i * scale. Everything is computed with JVM built-ins (transform /
+    aggregate / array_max) — no shuffle, no Python — and every step is
+    IEEE-exact and reproducible cross-engine: float→double widening is
+    exact, one multiply + one divide are correctly rounded, floor is exact.
+    That makes the quantized integers themselves oracle-able (eq1 in the
+    registry sums them in DuckDB with the same arithmetic).
+
+    All-zero vectors (max|v| = 0) quantize to all-zero codes with scale 0
+    rather than NaN. NULL vectors are dropped at entry like every vector
+    operator (see drop_null_vectors).
+
+    Columns: ``id_col``, ``q`` (array<long> codes), ``scale`` (double).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: F.floor(x * F.lit(qmax) / F.col("_maxabs") + F.lit(0.5)).cast("long"))
+    zero = F.transform(v, lambda x: F.lit(0).cast("long"))
+    return (
+        drop_null_vectors(df, vec_col)
+        .withColumn("_maxabs", maxabs)
+        .select(
+            F.col(id_col),
+            F.when(F.col("_maxabs") > 0, code).otherwise(zero).alias("q"),
+            (F.col("_maxabs") / F.lit(qmax)).alias("scale"),
+        )
+    )

@@ -815,6 +815,38 @@ def w3_sessionization(spark, sf_dir):
     )
 
 
+@register_extra(
+    "w4_session_window",
+    # Spark's NATIVE session_window (the streaming-capable sessionizer —
+    # same expression works under readStream, asserted equivalent in
+    # tests/test_streaming.py) vs the classic gaps-and-islands SQL. The
+    # merge boundary is CLOSED: an event exactly gap after the previous
+    # one still merges (split on strict >, w3's convention) — pinned by a
+    # planted boundary test, NOT guessable from the sf tables, which have
+    # no exact-1800s gap.
+    "WITH gaps AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT user_id, ts, sum(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM gaps) "
+    "SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM sess GROUP BY user_id, sid",
+)
+def w4_session_window(spark, sf_dir):
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 @register(
     "rw1_rolling_hourly_rate",
     # telemetry staple the reference lacks: per-event sliding-window rate —
@@ -1702,6 +1734,28 @@ def v1_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+@register_extra(
+    "oov1_vocab_oov_rate",
+    # tokenizer-coverage check (operators/corpus.py:vocab_oov_stats): per-doc
+    # token count + how many fall outside the corpus's own top-100 vocab.
+    # The vocab cut is a deterministic total order (count DESC, token ASC),
+    # so the k-th token is the same on both engines; oov_rate is one IEEE
+    # division of two exact integers.
+    f"WITH {_VOCAB_TOKS}, "
+    "vocab AS (SELECT token FROM toks WHERE token != '' GROUP BY token "
+    "ORDER BY count(*) DESC, token ASC LIMIT 100) "
+    "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+    "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate "
+    "FROM toks t LEFT JOIN vocab v ON t.token = v.token WHERE t.token != '' "
+    "GROUP BY t.doc_id",
+)
+def oov1_vocab_oov_rate(spark, sf_dir):
+    from .operators.corpus import vocab_oov_stats
+
+    return vocab_oov_stats(_t(spark, sf_dir, "documents"), k=100)
+
+
 @register(
     "ct1_benchmark_contamination",
     # docs 0–19 stand in for a held-out benchmark; any other doc sharing a
@@ -2194,6 +2248,37 @@ def e3x_ivf_ann_reduced_probe(spark, sf_dir):
     from .operators.simsearch import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=2)
+
+
+@register_extra(
+    "eq1_embedding_quantization",
+    # int8 scalar quantization (operators/simsearch.py:quantize_embeddings):
+    # every arithmetic step is IEEE-exact and order-fixed (float→double
+    # widening, one multiply, one divide, floor), so DuckDB re-derives the
+    # very integer codes — the quantizer is EXACTLY oracled, not
+    # approximately. q_sum/q_l1 fingerprint the code vector; scale_ppb pins
+    # the per-vector scale to integer nanounits via the same floor chain.
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs FROM embeddings "
+    "WHERE embedding IS NOT NULL) "
+    "SELECT vec_id, "
+    "CASE WHEN maxabs > 0 THEN CAST(list_sum(list_transform(embedding, "
+    "v -> CAST(floor(CAST(v AS DOUBLE)*127.0/maxabs + 0.5) AS BIGINT))) AS BIGINT) ELSE 0 END AS q_sum, "
+    "CASE WHEN maxabs > 0 THEN CAST(list_sum(list_transform(embedding, "
+    "v -> abs(CAST(floor(CAST(v AS DOUBLE)*127.0/maxabs + 0.5) AS BIGINT)))) AS BIGINT) ELSE 0 END AS q_l1, "
+    "CAST(floor(maxabs/127.0*1e9 + 0.5) AS BIGINT) AS scale_ppb FROM m",
+)
+def eq1_embedding_quantization(spark, sf_dir):
+    from .operators.simsearch import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    lsum = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("q"), lsum, lambda a, b: a + b).alias("q_sum"),
+        F.aggregate(F.transform(F.col("q"), F.abs), lsum, lambda a, b: a + b).alias("q_l1"),
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("scale_ppb"),
+    )
 
 
 def _ann_recall_gate(ann: DataFrame, brute: DataFrame, min_found: int, consts: list):

@@ -362,3 +362,33 @@ def test_token_chunks_rejects_gapping_stride(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         token_chunks(_docs(spark, [(1, "a b c", "en")]), chunk_size=2, stride=3)
+
+
+def test_vocab_oov_stats_counts_and_rate(spark):
+    from otel_kafka_pg_spark.operators.corpus import vocab_oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the dog"),   # "the" x2 wins vocab
+            (2, "the zebra"),
+            (3, "qux"),               # fully OOV
+            (4, "   "),               # zero tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vocab_oov_stats(docs, k=2).collect()}
+    # vocab = top-2 by (count desc, token asc): "the"(3), "cat"(1) beats
+    # "dog"/"qux"/"zebra" alphabetically at count 1
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)  # dog OOV
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (2, 1)  # zebra OOV
+    assert (got[3]["n_tokens"], got[3]["n_oov"]) == (1, 1)
+    assert got[3]["oov_rate"] == 1.0
+
+
+def test_vocab_oov_join_is_broadcast(spark, sf_dir):
+    from otel_kafka_pg_spark.operators.corpus import vocab_oov_stats
+    from otel_kafka_pg_spark.sources.tables import load_table
+
+    plan = vocab_oov_stats(load_table(spark, sf_dir, "documents"))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the k-row vocab never shuffles the token stream

@@ -594,3 +594,31 @@ def test_span_dup_fast_twin_matches_md5_path(spark, sf_dir):
     a = span_dup_fraction(d, gram_n=3)
     b = span_dup_fraction(d, gram_n=3, hash_impl="xxhash64")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_quantize_embeddings_roundtrip_and_range(spark):
+    from otel_kafka_pg_spark.operators.simsearch import quantize_embeddings
+
+    df, m = _emb(spark, n=50, d=8)
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert len(rows) == 50
+    for vid, vec in enumerate(m):
+        q, scale = rows[vid]["q"], rows[vid]["scale"]
+        assert max(abs(c) for c in q) <= 127
+        # the max-|v| element quantizes to exactly ±127
+        assert 127 in {abs(c) for c in q} or max(abs(x) for x in vec) == 0
+        for c, v in zip(q, vec):
+            assert abs(c * scale - v) <= scale / 2 + 1e-9
+
+
+def test_quantize_embeddings_zero_vector_and_nulls(spark):
+    from otel_kafka_pg_spark.operators.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, None), (2, [1.0, -2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(rows) == {0, 2}  # NULL vector dropped at entry
+    assert rows[0]["q"] == [0, 0] and rows[0]["scale"] == 0.0
+    assert rows[2]["q"] == [64, -127]  # floor(63.5+0.5), floor(-127+0.5)=-127

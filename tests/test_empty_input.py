@@ -50,6 +50,7 @@ _EXPECTED_SYNTH_ONLY = {
     "st2_stream_windowed_severity",
     "st3_stateful_conversation_state",
     "st4_stream_dedup",
+    "st5_stream_stream_join",
     "f10_attr_predicate",
     "mm1_media_features",
     "mm1x_media_feature_vectors",

@@ -413,3 +413,74 @@ def test_stream_stream_join_interval_semantics(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM st5_test_pairs").collect()
     ]
     assert got == [("A", 0, 1)]
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The w4 registry entry's expression is streaming-capable verbatim:
+    the SAME session_window groupBy over readStream (complete mode — a
+    bounded availableNow source never advances the watermark past its own
+    tail, so append would hold back the final sessions) emits exactly the
+    batch result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = str(tmp_path_factory.mktemp("w4_events"))  # file source wants a dir
+    shutil.copy(src, os.path.join(stream_dir, "events.parquet"))
+    batch = spark.read.parquet(src)
+    sw = F.session_window(F.col("ts"), "30 minutes")
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", sw)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("w4_stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM w4_stream_sessions").collect()}
+    want = {tuple(r) for r in sessions(batch).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_session_window_gap_boundary_is_half_open(spark):
+    """The merge boundary is CLOSED: an event landing EXACTLY gap after the
+    previous one still merges (split only on strictly-greater gaps) — the
+    w4 oracle encodes the same strict-> convention. Pinned with planted
+    rows because the sf events tables contain no exact-1800s gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0), (1, t0 + dt.timedelta(seconds=1801)),   # past the gap -> split
+            (2, t0), (2, t0 + dt.timedelta(seconds=1800)),   # exactly gap -> merge
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
