@@ -726,6 +726,36 @@ def u2_merge_into(spark, sf_dir):
     return merged.select("event_id", F.round("value", 3).alias("value"))
 
 
+@register_extra(
+    "st6_stream_upsert",
+    # the reference's consumer→upsert loop end-to-end (consumer.go poll →
+    # repository.go:71-78 ON CONFLICT DO UPDATE), as Structured Streaming:
+    # events drain in micro-batches, each batch MERGEs into a durable keyed
+    # table with a recency-CONDITIONAL update (streaming/stream_pipeline.py:
+    # stream_upsert) — so the final table is latest-write-wins per user for
+    # ANY batch interleaving or replay: w1's oracle verbatim.
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT user_id, event_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+)
+def st6_stream_upsert(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.stream_pipeline import stream_upsert
+
+    root = tempfile.mkdtemp(prefix="st6_")
+    src = os.path.join(root, "src")
+    dest = os.path.join(root, "state")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    ev.repartition(8).write.parquet(src)  # several files → several micro-batches
+    stream_upsert(spark, src, dest, key="user_id", order_cols=("ts", "event_id"))
+    shutil.rmtree(src, ignore_errors=True)
+    if not os.path.exists(dest):  # zero input rows → no batch ever wrote
+        return spark.createDataFrame([], "user_id long, event_id long, event_type string")
+    return spark.read.parquet(dest).select("user_id", "event_id", "event_type")
+
+
 @register(
     "rd1_retention_delete",
     # S7 done for REAL: events written to a durable parquet sink, rows

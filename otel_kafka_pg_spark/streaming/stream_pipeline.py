@@ -303,3 +303,90 @@ def stream_trace_log_join(
     return traces.join(logs, cond, "inner").select(
         F.col("t_conv").alias("conv_id"), "trace_turn", "log_turn", "trace_ts", "log_ts"
     )
+
+
+def stream_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    dest: str,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    max_files_per_trigger: int = 2,
+    schema=None,
+) -> None:
+    """Streaming UPSERT sink — the reference's literal topology end-to-end:
+    the consumer drains micro-batches and applies each as an ON CONFLICT DO
+    UPDATE batch into a keyed table (consumer.go poll loop →
+    log/repository/repository.go:71-78 upsert), where run_stream covers the
+    append-sink side.
+
+    Per micro-batch: (1) collapse the batch to its latest row per ``key``
+    (row_number over ``order_cols`` DESC — one shuffle on the merge key);
+    (2) MERGE into the durable table with the matched-row update
+    CONDITIONAL on recency (``WHEN MATCHED AND s.ord >= t.ord THEN
+    UPDATE``, ord = the ``order_cols`` struct, lexicographic). The
+    conditional merge is what makes this safe without run_stream's commit
+    markers: applying a batch twice, or applying batches out of order
+    (a replayed file, a late partition), can never regress a key to an
+    older value — per-key state is argmax over (order_cols), which is
+    idempotent and commutative, so the final table equals the BATCH
+    latest-per-key result for ANY interleaving. State lives in the
+    destination table itself, not the state store.
+
+    The rewrite uses retention_delete's write-tmp → two-rename swap with
+    entry-time recover_interrupted_swap, so a crash mid-swap is
+    restartable. At scale the swap becomes a real Iceberg/Delta MERGE INTO
+    (plans/sinks.py:merge_upsert_iceberg) — metadata-swap instead of
+    directory rename, same conditional-update SQL.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.sinks import recover_interrupted_swap
+
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    checkpoint = dest.rstrip("/") + "_checkpoint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+        upd = batch_df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        recover_interrupted_swap(dest)
+        if not os.path.exists(dest):
+            upd.write.mode("overwrite").parquet(dest)
+            return
+        base = spark.read.parquet(dest)
+        cols = [c for c in base.columns if c != key]
+        u = upd.select(key, *[F.col(c).alias(f"_u_{c}") for c in cols])
+        uord = F.struct(*[F.col(f"_u_{c}") for c in order_cols])
+        bord = F.struct(*[F.col(c) for c in order_cols])
+        take_u = F.col(f"_u_{order_cols[0]}").isNotNull() & (
+            F.col(order_cols[0]).isNull() | (uord >= bord)
+        )
+        merged = base.join(u, key, "full_outer").select(
+            key, *[F.when(take_u, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c) for c in cols]
+        )
+        tmp = dest.rstrip("/") + ".rewrite.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)  # materialized before any rename
+        old = dest.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -484,3 +484,67 @@ def test_session_window_gap_boundary_is_half_open(spark):
     )
     got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_stream_upsert_matches_batch_and_replay_is_idempotent(spark, sf_dir, tmp_path_factory):
+    """Multi-micro-batch streaming upsert == batch latest-per-key; wiping
+    the checkpoint and re-draining the same source (full replay) leaves the
+    table byte-identical — idempotent by the merge algebra (per-key argmax),
+    with NO commit markers involved."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from otel_kafka_pg_spark.streaming.stream_pipeline import stream_upsert
+
+    root = str(tmp_path_factory.mktemp("st6"))
+    src, dest = os.path.join(root, "src"), os.path.join(root, "state")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    ev.repartition(8).write.parquet(src)  # 8 files, 2/trigger -> >=4 micro-batches
+    stream_upsert(spark, src, dest, key="user_id", order_cols=("ts", "event_id"))
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type")
+        .collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(dest).select("user_id", "event_id", "event_type").collect()}
+    assert got == want and len(want) > 0
+
+    shutil.rmtree(dest.rstrip("/") + "_checkpoint")  # full replay from scratch
+    stream_upsert(spark, src, dest, key="user_id", order_cols=("ts", "event_id"))
+    replayed = {
+        tuple(r) for r in spark.read.parquet(dest).select("user_id", "event_id", "event_type").collect()
+    }
+    assert replayed == want
+
+
+def test_stream_upsert_late_older_batch_never_regresses(spark, tmp_path_factory):
+    """A file arriving AFTER a newer one (late partition / replayed old
+    data) must not regress any key: the MERGE's matched-update is
+    conditional on recency, per-key state is argmax(ts, event_id)."""
+    import datetime as dt
+    import os
+
+    from otel_kafka_pg_spark.streaming.stream_pipeline import stream_upsert
+
+    root = str(tmp_path_factory.mktemp("st6_ooo"))
+    src, dest = os.path.join(root, "src"), os.path.join(root, "state")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    newer = spark.createDataFrame([(1, 100, "click", t0 + dt.timedelta(hours=1))], schema)
+    older = spark.createDataFrame([(1, 50, "view", t0), (2, 51, "view", t0)], schema)
+
+    newer.coalesce(1).write.mode("append").parquet(src)
+    stream_upsert(spark, src, dest, key="user_id", schema=newer.schema)
+    older.coalesce(1).write.mode("append").parquet(src)  # late, older data
+    stream_upsert(spark, src, dest, key="user_id", schema=newer.schema)  # drains ONLY the new file
+
+    got = {tuple(r) for r in spark.read.parquet(dest).select("user_id", "event_id", "event_type").collect()}
+    assert got == {(1, 100, "click"), (2, 51, "view")}  # user 1 kept the newer row
