@@ -292,3 +292,28 @@ def broadcast_enrich_join(customer: DataFrame, nation: DataFrame, region: DataFr
         .agg(F.count(F.lit(1)).alias("customers"), F.round(F.avg("c_acctbal"), 3).alias("avg_bal"))
         .orderBy("r_name")
     )
+
+
+def merge_agg_deltas(
+    base: DataFrame, delta: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates: fold a delta batch's PARTIAL aggregate into a base
+    aggregate by key — full-outer join + coalesced sums, the same merge a
+    combiner performs, applied at the storage layer. count/sum merge
+    directly, avg as (sum, count), min/max with greatest/least; holistic
+    aggregates (exact percentiles) don't merge and need the sketch path
+    (ax1). At 100 TB this turns "re-scan the fact table to refresh a
+    rollup" into "aggregate the delta partition and merge k rows" — the
+    incremental rollup the reference recomputes from scratch per request.
+    The join key is the rollup's grain, so the exchange is k-row-sized,
+    never fact-sized."""
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in sum_cols])
+    j = base.join(d, keys, "full_outer")
+    return j.select(
+        *keys,
+        *[
+            (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
+            for c in sum_cols
+        ],
+    )

@@ -272,3 +272,60 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return before, len(parquet_file_lineage(path))
+
+
+def zvalue(cols: list, bits: int = 20):
+    """Z-order (Morton) interleave of N integer columns into one BIGINT —
+    the multi-dimensional clustering key for data-skipping layouts. Pure
+    bit arithmetic on JVM expressions (shift/and/or), integer-exact and
+    engine-portable, so the curve value itself is oracle-able.
+
+    ``bits`` low bits per dimension are interleaved (values above 2^bits
+    wrap into the same curve cell — callers pick bits to cover the domain;
+    N*bits must fit in 63). Column i's bit b lands at position N*b + i.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"z-value would overflow a BIGINT: {n} dims * {bits} bits > 63")
+    terms = []
+    for i, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("long")
+        for b in range(bits):
+            terms.append(F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), n * b + i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zvalue_sql(cols: list[str], bits: int = 20) -> str:
+    """The identical Morton interleave as portable SQL (DuckDB oracle twin
+    of ``zvalue`` — same bit positions, OR-reduced)."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {n * b + i})" for i, c in enumerate(cols) for b in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(df, dest: str, cols: list[str], n_files: int = 8, bits: int = 20) -> None:
+    """Persist ``df`` clustered along the Z-curve of ``cols``:
+    repartitionByRange on the z-value (contiguous, disjoint curve ranges
+    per file) + sortWithinPartitions, so each parquet file covers a small
+    hyper-rectangle of the key space and its column-chunk min/max
+    statistics prune scans on ANY prefix-free combination of the z
+    dimensions — the layout trick bucketing can't do for multi-dimensional
+    predicates. At 100 TB this is the difference between reading every
+    file for a (user, time-range) probe and reading the few files whose
+    z-range intersects it. One range-exchange at write time; queries pay
+    nothing."""
+    z = zvalue(cols, bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )

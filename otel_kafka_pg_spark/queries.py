@@ -45,6 +45,7 @@ from .operators.dedup import (
 )
 from .operators.simsearch import cosine_topk, cosine_topk_pandas, lsh_bucket_topk
 from .functions import text as tx
+from .plans.sinks import zvalue_sql
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -754,6 +755,51 @@ def st6_stream_upsert(spark, sf_dir):
     if not os.path.exists(dest):  # zero input rows → no batch ever wrote
         return spark.createDataFrame([], "user_id long, event_id long, event_type string")
     return spark.read.parquet(dest).select("user_id", "event_id", "event_type")
+
+
+@register_extra(
+    "zo1_zorder_values",
+    # Z-order/Morton clustering key (plans/sinks.py:zvalue) — the
+    # multi-dimensional data-skipping layout for 100 TB scans
+    # (write_zordered range-partitions on it; per-file disjointness
+    # asserted in tests/test_sinks.py). Pure integer bit-interleave, so the
+    # curve value itself is exactly oracled: zvalue_sql emits the same
+    # shift/mask/OR chain for DuckDB.
+    "SELECT event_id, user_id, CAST("
+    + zvalue_sql(["user_id", "event_id"], bits=20)
+    + " AS BIGINT) AS z FROM events",
+)
+def zo1_zorder_values(spark, sf_dir):
+    from .plans.sinks import zvalue
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", zvalue(["user_id", "event_id"], bits=20).alias("z")
+    )
+
+
+@register_extra(
+    "mv1_incremental_agg",
+    # incremental materialized-view maintenance
+    # (operators/aggregate.py:merge_agg_deltas): base rollup (even
+    # event_ids) + delta rollup (odd event_ids) merged by key == the full
+    # recompute — the oracle aggregates everything in one pass, proving
+    # the delta merge is exact.
+    "SELECT event_type, date_trunc('hour', ts) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type, date_trunc('hour', ts)",
+)
+def mv1_incremental_agg(spark, sf_dir):
+    from .operators.aggregate import merge_agg_deltas
+
+    ev = _t(spark, sf_dir, "events").withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+
+    def rollup(df):
+        return df.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    base = rollup(ev.filter(F.col("event_id") % 2 == 0))
+    delta = rollup(ev.filter(F.col("event_id") % 2 == 1))
+    return merge_agg_deltas(base, delta, keys=["event_type", "bucket"], sum_cols=["cnt"]).select(
+        "event_type", "bucket", F.col("cnt").cast("long").alias("cnt")
+    )
 
 
 @register(
