@@ -164,3 +164,43 @@ def test_token_chunks_coverage_and_no_containment(spark, doc_lens, chunk_size, o
         assert covered == set(range(1, n + 1)), (n, chunk_size, stride, spans)
         for a in spans:
             assert not any(b != a and b[0] <= a[0] and a[1] <= b[1] for b in spans), spans
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_embeddings_matches_numpy_reference(spark, vecs):
+    """The int8 quantizer's floor chain vs an independent float64 numpy
+    reference: identical codes (the eq1 oracle's cross-engine claim,
+    attacked with adversarial magnitudes instead of the fixture table),
+    plus the reconstruction bound |q*scale - v| <= scale/2."""
+    import numpy as np
+
+    from otel_kafka_pg_spark.operators.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        arr = np.asarray([np.float32(x) for x in v], dtype=np.float64)
+        maxabs = float(np.max(np.abs(arr)))
+        if maxabs > 0:
+            want = np.floor(arr * 127.0 / maxabs + 0.5).astype(np.int64)
+        else:
+            want = np.zeros(len(arr), dtype=np.int64)
+        assert list(got[i]["q"]) == want.tolist(), (i, v)
+        scale = got[i]["scale"]
+        assert scale == maxabs / 127.0
+        for c, x in zip(got[i]["q"], arr):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
