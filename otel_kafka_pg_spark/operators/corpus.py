@@ -93,6 +93,54 @@ def vocab_oov_stats(df: DataFrame, text_col: str = "text", k: int = 100) -> Data
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 3,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Per-document top-``top`` TF-IDF terms — the keyword-extraction /
+    topic-tagging pass of a corpus pipeline (and the all-terms sibling of
+    ranked_retrieval's fixed-query scoring).
+
+    Same quantized IDF as bm1/ds1: W_t = floor(N·scale / (df_t+1)) is one
+    IEEE division + floor, and score(t,d) = tf(t,d)·W_t stays in EXACT
+    integer arithmetic end-to-end — no float sums anywhere, so the scores
+    (not just the ranking) are engine-portable.
+
+    Shape at scale: tf = groupBy(doc, token) partial-agg; df_t reduces the
+    SAME tf frame by token (vocab-sized); the tf⋈df join is co-partitioned
+    on token; the final per-doc top-k window partitions by the corpus's
+    natural key. Nothing ever shuffles raw text — tokens only. Ties break
+    term-ASC for a unique total order.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("tf")
+                * F.floor(F.col("n_docs") * F.lit(float(idf_scale)) / (F.col("dft") + 1))
+            ).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def word_gram_strings(text_col: str, n: int = 5):
     """Word n-grams as strings via the shared zip-of-shifted-slices gram
     builder (functions/text.py:_gram_structs — the O(len) shape; a

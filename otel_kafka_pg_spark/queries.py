@@ -1832,6 +1832,29 @@ def oov1_vocab_oov_rate(spark, sf_dir):
     return vocab_oov_stats(_t(spark, sf_dir, "documents"), k=100)
 
 
+@register_extra(
+    "tf1_tfidf_top_terms",
+    # per-doc top-3 TF-IDF terms (operators/corpus.py:tfidf_top_terms):
+    # quantized integer IDF (bm1/ds1's trick) keeps the SCORES exact
+    # integers end-to-end, so the oracle matches values, not just ranks.
+    f"WITH {_VOCAB_TOKS}, "
+    "tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM toks "
+    "WHERE token != '' GROUP BY doc_id, token), "
+    "dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term), "
+    "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf), "
+    "scored AS (SELECT t.doc_id, t.term, "
+    "CAST(t.tf * floor(n.n_docs * 1000.0 / (d.dft + 1)) AS BIGINT) AS score "
+    "FROM tf t JOIN dfreq d USING (term) CROSS JOIN n), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, term ASC) AS rn FROM scored) "
+    "SELECT doc_id, term, score, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 3",
+)
+def tf1_tfidf_top_terms(spark, sf_dir):
+    from .operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top=3)
+
+
 @register(
     "ct1_benchmark_contamination",
     # docs 0–19 stand in for a held-out benchmark; any other doc sharing a

@@ -392,3 +392,28 @@ def test_vocab_oov_join_is_broadcast(spark, sf_dir):
 
     plan = vocab_oov_stats(load_table(spark, sf_dir, "documents"))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the k-row vocab never shuffles the token stream
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from otel_kafka_pg_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    # N=3. df: apple 2, banana 2, cherry 2 -> W = floor(3000/3) = 1000 each
+    # doc1: apple tf2 -> 2000, banana 1000; doc3: banana tf3 -> 3000, cherry 1000
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_top_terms(docs, top=2).collect()
+    }
+    assert got[(1, 1)] == ("apple", 2000)
+    assert got[(1, 2)] == ("banana", 1000)
+    assert got[(2, 1)] == ("apple", 1000)  # tie with cherry at 1000 -> term ASC
+    assert got[(2, 2)] == ("cherry", 1000)
+    assert got[(3, 1)] == ("banana", 3000)
+    assert got[(3, 2)] == ("cherry", 1000)
