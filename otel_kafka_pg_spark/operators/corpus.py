@@ -93,6 +93,39 @@ def vocab_oov_stats(df: DataFrame, text_col: str = "text", k: int = 100) -> Data
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (("train", 90), ("val", 5), ("test", 5)),
+    salt: str = "",
+    modulus: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training pipeline runs before anything else. bucket =
+    md5_60bit(id ∥ salt) mod ``modulus``; cumulative weight thresholds cut
+    the buckets into named splits.
+
+    A pure function of the id (plus salt): re-runs, repartitions, engine
+    changes, and incremental data arrivals all assign identically — no
+    RNG, no global sort, no state. That's what makes it leakage-proof: a
+    doc can never migrate between train and test across pipeline runs.
+    Changing ``salt`` draws a fresh independent split. Zero shuffle:
+    per-row expression only. Columns: ``id_col``, split.
+    """
+    from ..functions.text import md5_60bit
+
+    if sum(w for _, w in weights) != modulus:
+        raise ValueError(f"split weights must sum to modulus={modulus}: {weights!r}")
+    b = md5_60bit(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % modulus
+    expr = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        expr = F.when(b < cum, name) if expr is None else expr.when(b < cum, name)
+    expr = (expr.otherwise(weights[-1][0]) if expr is not None else F.lit(weights[-1][0]))
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -1791,6 +1791,10 @@ def t5_bpe_token_count(spark, sf_dir):
 # --- corpus-level ops (operators/corpus.py): vocabulary, contamination,
 # stratified sampling — round-3 extensions, each exactly oracled ---
 
+# THE engine-portable hash (functions/text.py:md5_60bit), DuckDB form —
+# defined once, every oracle consumer formats through it
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
 _VOCAB_TOKS = (
     "toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
     "FROM documents)"
@@ -1853,6 +1857,22 @@ def tf1_tfidf_top_terms(spark, sf_dir):
     from .operators.corpus import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), top=3)
+
+
+@register_extra(
+    "sp1_hash_split",
+    # deterministic 90/5/5 train/val/test split (operators/corpus.py:
+    # hash_split): bucket = md5_60bit(doc_id) % 100 — a pure function of
+    # the id, so assignment survives re-runs/repartitions/engines
+    # (leakage-proof); zero shuffle.
+    "SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+    "ELSE 'test' END AS split FROM (SELECT doc_id, "
+    f"{_MD5_60.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS b FROM documents)",
+)
+def sp1_hash_split(spark, sf_dir):
+    from .operators.corpus import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1976,7 +1996,6 @@ def ds1_importance_ratio(spark, sf_dir):
     return importance_ratio(d, d.filter(F.col("lang") == "en"))
 
 
-_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 @register(

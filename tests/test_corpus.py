@@ -417,3 +417,28 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(2, 2)] == ("cherry", 1000)
     assert got[(3, 1)] == ("banana", 3000)
     assert got[(3, 2)] == ("cherry", 1000)
+
+
+def test_hash_split_deterministic_proportions_and_salt(spark, sf_dir):
+    from otel_kafka_pg_spark.operators.corpus import hash_split
+    from otel_kafka_pg_spark.sources.tables import load_table
+
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs).collect()}
+    # repartitioning cannot move a doc between splits (pure function of id)
+    b = {(r["doc_id"], r["split"]) for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b
+    counts = {}
+    for _, s in a:
+        counts[s] = counts.get(s, 0) + 1
+    n = len(a)
+    assert counts["train"] / n == pytest.approx(0.90, abs=0.06)
+    assert counts["val"] / n == pytest.approx(0.05, abs=0.04)
+    assert counts["test"] / n == pytest.approx(0.05, abs=0.04)
+    # a different salt draws a genuinely different split
+    c = {(r["doc_id"], r["split"]) for r in hash_split(docs, salt="v2").collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="sum to modulus"):
+        hash_split(docs, weights=(("train", 50), ("val", 10)))
