@@ -82,6 +82,14 @@ HEADLINE = [
     "dp6_corpus_prep_modern",
     "dp7_chunk_pack",
     "t1_text_profile",
+    "tf1_tfidf_top_terms",
+    "oov1_vocab_oov_rate",
+    "sp1_hash_split",
+    "w4_session_window",
+    "st6_stream_upsert",
+    "zo1_zorder_values",
+    "mv1_incremental_agg",
+    "eq1_embedding_quantization",
     "bm1_ranked_retrieval",
     "qc1_classifier_inference",
     "t7_repetition_signals",

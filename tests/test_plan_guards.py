@@ -207,3 +207,33 @@ def test_importance_ratio_reuses_corpus_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan
+
+
+def test_hash_split_and_quantize_are_shuffle_free(spark):
+    """sp1/eq1 are pure per-row expression chains: any Exchange in their
+    plans means someone broke the zero-shuffle contract SCALE.md records."""
+    from otel_kafka_pg_spark.operators.corpus import hash_split
+    from otel_kafka_pg_spark.operators.simsearch import quantize_embeddings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (hash_split(docs), quantize_embeddings(emb)):
+        assert "Exchange" not in _plan(df)
+
+
+def test_zordered_write_plan_is_one_range_exchange(spark):
+    """write_zordered's clustering cost at scale is exactly one range
+    exchange (plus its sampling subquery) — never a hash shuffle and never
+    a global Sort node outside the partition-local one."""
+    from otel_kafka_pg_spark.plans.sinks import zvalue
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
+    laid = (
+        ev.withColumn("_z", zvalue(["user_id", "event_id"]))
+        .repartitionByRange(6, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    plan = _plan(laid)
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
