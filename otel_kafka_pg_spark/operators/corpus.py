@@ -653,3 +653,162 @@ def importance_ratio(
         )
         .withColumn("ratio", F.round(F.col("sum_target") / F.col("sum_raw"), 6))
     )
+
+
+def bpe_pair_mining(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Most frequent adjacent character pairs across the corpus's words —
+    the pair-selection step of one BPE merge iteration (the inner loop of
+    tokenizer training, run corpus-scale instead of sample-scale).
+
+    Words shorter than 2 chars contribute nothing (filtered BEFORE the
+    sequence expression: Spark's ``sequence(1, 0)`` descends instead of
+    emitting empty, so the guard is correctness, not just speed).
+    Deterministic total order (count DESC, pair ASC) makes the cut at k
+    stable across engines — the same discipline as ``vocab_topk``.
+
+    Shape at scale: explode(word) → explode(pairs) → groupBy(pair) is
+    map-side partial-agg'd, so the one shuffle carries ≤ |alphabet|² rows
+    per map partition regardless of corpus size; the top-k is a
+    TakeOrdered, never a global sort. A full BPE train iterates this with
+    the winning pair merged — each iteration is the same one-shuffle scan.
+
+    Columns: pair, n.
+    """
+    words = df.select(F.explode(_tokens(text_col)).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1)),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str = "text", min_per_mille: int = 5
+) -> DataFrame:
+    """Tokens whose corpus frequency is ≥ ``min_per_mille``/1000 of all
+    token occurrences — the exact form of the frequent-items pass that
+    flags boilerplate/template tokens for removal before training.
+
+    The cut is integer-exact (``n * 1000 >= min_per_mille * total``), so
+    membership is engine-portable; ``frequency`` is the one IEEE division,
+    applied after the cut. At sketch scale this is where a count-min
+    sketch would slot in; the exact two-stage aggregate IS the oracle-able
+    reference implementation, and it already scales: the token groupBy is
+    partial-agg'd, and the total is a 1-row broadcast, not a second scan
+    (it re-aggregates the counts frame).
+
+    Columns: token, n, total_tokens, frequency.
+    """
+    toks = df.select(F.explode(_tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total_tokens"))
+    return (
+        counts.crossJoin(broadcast(total))
+        .filter(F.col("n") * 1000 >= F.lit(int(min_per_mille)) * F.col("total_tokens"))
+        .select(
+            "token",
+            "n",
+            "total_tokens",
+            (F.col("n").cast("double") / F.col("total_tokens")).alias("frequency"),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars", width: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (corpus length profile —
+    the first chart on any data card). Pure integer bucket arithmetic
+    (floor division), zero-shuffle partial-agg'd groupBy; bucket bounds are
+    emitted so the result is self-describing.
+
+    Columns: bucket, lo, hi, n_docs.
+    """
+    w = int(width)
+    b = F.floor(F.col(length_col) / w).cast("long")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * w).alias("lo"),
+            (F.col("bucket") * w + w).alias("hi"),
+            "n_docs",
+        )
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document rarity score under the corpus's own bigram statistics —
+    the KenLM-perplexity-filter shape (train an n-gram LM on the corpus,
+    score each document, drop the tails) made integer-exact.
+
+    For each adjacent token pair (w1,w2) the surprisal proxy is
+    ``floor(c(w1) * 1000 / c(w1,w2))`` — the quantized inverse conditional
+    frequency (ds1/bm1's quantized-ratio trick): common continuations
+    score ~1000, rare ones score high, and every intermediate value is an
+    exact integer both engines reproduce bit-for-bit (a real log-space LM
+    is a one-line swap where cross-engine ulp parity is not required).
+    ``c(w1)`` is the corpus-wide unigram count; ``surprisal_sum`` is the
+    per-doc sum; ``avg_surprisal`` is the one IEEE division by the doc's
+    bigram count.
+
+    Shape at scale: bigrams come from one array-transform over the token
+    array (no per-doc window, no posexplode shuffle); the bigram and
+    unigram count tables are corpus-bounded aggregates joined back by
+    key — three hash shuffles total, all partial-agg'd, none carrying
+    text longer than two tokens.
+
+    Columns: doc_id, n_bigrams, surprisal_sum, avg_surprisal.
+    """
+    arr = df.select(F.col(id_col), _tokens(text_col).alias("a")).filter(
+        F.size("a") >= 2
+    )
+    bg = arr.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("a") - F.lit(2)),
+                lambda i: F.struct(
+                    F.get(F.col("a"), i).alias("w1"),
+                    F.get(F.col("a"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(_tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(id_col, F.floor(F.col("c1") * 1000 / F.col("c12")).alias("s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_bigrams"),
+        )
+    )

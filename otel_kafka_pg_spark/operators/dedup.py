@@ -608,3 +608,39 @@ def simhash_near_pairs(
     else:
         sh, bits = simhash(df, text_col, id_col), 64
     return near_pairs_from_simhash(sh, bits, max_hamming, max_bucket=max_bucket)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus — the
+    shape exact dedup actually takes at 100 TB, where the historical
+    fingerprint index exists and each ingestion wave only anti-joins
+    against it (re-fingerprinting the full corpus per wave would be a
+    full-table scan per day).
+
+    ``seen_fingerprints`` is a one-column frame (``fp`` BIGINT) — the
+    persisted index, e.g. yesterday's output of this same function
+    unioned in. Two steps, both single-shuffle: (1) within-batch exact
+    dedup (min-id survivor per fingerprint, ``exact_dedup``'s rule), then
+    (2) ``left_anti`` against the index on the same key — Catalyst plans
+    both over one hash partitioning of ``fp``, and AQE picks
+    broadcast-anti when the day's index delta is small. The fingerprint is
+    ``md5_60bit`` over whitespace-normalized lowercase text (the
+    engine-portable hash), so the index stays 8 bytes/doc — 10^12 docs ≈
+    8 TB index, itself partitionable by fp range.
+
+    Columns: doc_id, fp (the survivors to ingest; append their fps to the
+    index for the next wave).
+    """
+    from ..functions.text import md5_60bit
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fps = batch.select(F.col(id_col), md5_60bit(normalized).alias("fp"))
+    survivors = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return survivors.join(
+        seen_fingerprints.select("fp").distinct(), "fp", "left_anti"
+    ).select(id_col, "fp")

@@ -1875,6 +1875,107 @@ def sp1_hash_split(spark, sf_dir):
     return hash_split(_t(spark, sf_dir, "documents"))
 
 
+@register_extra(
+    "bpe1_pair_mining",
+    # BPE merge-selection step (operators/corpus.py:bpe_pair_mining): most
+    # frequent adjacent char pairs across words, deterministic total order
+    # (n DESC, pair ASC) so the cut at 50 is engine-stable.
+    "WITH words AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w "
+    "FROM documents), "
+    "pairs AS (SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w)-1)]) "
+    "AS pair FROM words WHERE length(w) >= 2) "
+    "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair "
+    "ORDER BY n DESC, pair ASC LIMIT 50",
+)
+def bpe1_pair_mining(spark, sf_dir):
+    from .operators.corpus import bpe_pair_mining
+
+    return bpe_pair_mining(_t(spark, sf_dir, "documents"), k=50)
+
+
+@register_extra(
+    "hh1_heavy_hitters",
+    # boilerplate-token detection (operators/corpus.py:heavy_hitters):
+    # tokens at ≥5‰ of all occurrences; the cut is integer-exact
+    # (n*1000 >= 5*total), frequency is the one IEEE division after it.
+    f"WITH {_VOCAB_TOKS}, "
+    "counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks "
+    "WHERE token != '' GROUP BY token), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM counts) "
+    "SELECT token, n, total_tokens, CAST(n AS DOUBLE) / total_tokens AS frequency "
+    "FROM counts, tot WHERE n * 1000 >= 5 * total_tokens",
+)
+def hh1_heavy_hitters(spark, sf_dir):
+    from .operators.corpus import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), min_per_mille=5)
+
+
+@register_extra(
+    "h1_length_histogram",
+    # data-card length profile (operators/corpus.py:length_histogram):
+    # fixed-width integer buckets, self-describing bounds.
+    "SELECT bucket, bucket * 10 AS lo, bucket * 10 + 10 AS hi, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM "
+    "(SELECT CAST(floor(n_chars / 10) AS BIGINT) AS bucket FROM documents) "
+    "GROUP BY bucket",
+)
+def h1_length_histogram(spark, sf_dir):
+    from .operators.corpus import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"), width=10)
+
+
+@register_extra(
+    "dd8_incremental_dedup",
+    # ingestion-wave dedup (operators/dedup.py:incremental_dedup): docs
+    # < 250 stand in for the already-ingested corpus's fingerprint index;
+    # the "incoming batch" (docs ≥ 250) is deduped within itself (min-id
+    # per fingerprint) then anti-joined against the index. The fingerprint
+    # is md5_60bit over whitespace-normalized lowercase text, so both
+    # engines derive identical 60-bit keys.
+    "WITH f AS (SELECT doc_id, ('0x' || substr(md5(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp FROM documents), "
+    "hist AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250), "
+    "surv AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE doc_id >= 250 GROUP BY fp) "
+    "SELECT s.doc_id, s.fp FROM surv s ANTI JOIN hist h USING (fp)",
+)
+def dd8_incremental_dedup(spark, sf_dir):
+    from .functions.text import md5_60bit
+    from .operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    seen = docs.filter(F.col("doc_id") < 250).select(md5_60bit(norm).alias("fp"))
+    return incremental_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+@register_extra(
+    "lm1_bigram_surprisal",
+    # KenLM-filter shape made integer-exact (operators/corpus.py:
+    # bigram_surprisal): per-bigram score = floor(c(w1)*1000 / c(w1,w2))
+    # — quantized inverse conditional frequency; the per-doc sum is an
+    # exact integer, avg is the one IEEE division.
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS a FROM documents), "
+    "bg AS (SELECT doc_id, unnest([struct_pack(w1 := a[i], w2 := a[i+1]) "
+    "for i in generate_series(1, len(a)-1)]) AS s FROM t WHERE len(a) >= 2), "
+    "pairs AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg), "
+    "uni AS (SELECT unnest(a) AS w1 FROM t), "
+    "c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1), "
+    "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2), "
+    "scored AS (SELECT p.doc_id, CAST(floor(u.c1 * 1000 / b.c12) AS BIGINT) AS sc "
+    "FROM pairs p JOIN c12 b USING (w1, w2) JOIN c1 u USING (w1)) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(sc) AS BIGINT) AS surprisal_sum, "
+    "CAST(sum(sc) AS DOUBLE) / count(*) AS avg_surprisal FROM scored GROUP BY doc_id",
+)
+def lm1_bigram_surprisal(spark, sf_dir):
+    from .operators.corpus import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "ct1_benchmark_contamination",
     # docs 0–19 stand in for a held-out benchmark; any other doc sharing a

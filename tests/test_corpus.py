@@ -442,3 +442,92 @@ def test_hash_split_deterministic_proportions_and_salt(spark, sf_dir):
     assert c != a
     with pytest.raises(ValueError, match="sum to modulus"):
         hash_split(docs, weights=(("train", 50), ("val", 10)))
+
+
+def test_bpe_pair_mining_planted(spark):
+    from otel_kafka_pg_spark.operators.corpus import bpe_pair_mining
+
+    # "abab" yields pairs ab, ba, ab; "ab" yields ab; "x" yields nothing
+    df = _docs(spark, [(1, "abab ab", "en"), (2, "x", "en")])
+    got = {(r["pair"], r["n"]) for r in bpe_pair_mining(df, k=10).collect()}
+    assert got == {("ab", 3), ("ba", 1)}
+
+
+def test_bpe_pair_mining_tiebreak_order(spark):
+    from otel_kafka_pg_spark.operators.corpus import bpe_pair_mining
+
+    # equal counts break ties pair-ASC so the limit cut is deterministic
+    df = _docs(spark, [(1, "zz aa", "en")])
+    rows = bpe_pair_mining(df, k=1).collect()
+    assert [(r["pair"], r["n"]) for r in rows] == [("aa", 1)]
+
+
+def test_heavy_hitters_integer_cut(spark):
+    from otel_kafka_pg_spark.operators.corpus import heavy_hitters
+
+    # 10 tokens total: "the"×3 (300‰), "a"×2 (200‰), five singletons (100‰)
+    df = _docs(spark, [(1, "the the the a a b c d e f", "en")])
+    got = heavy_hitters(df, min_per_mille=200).collect()
+    assert {(r["token"], r["n"], r["total_tokens"]) for r in got} == {
+        ("the", 3, 10),
+        ("a", 2, 10),
+    }
+    freqs = {r["token"]: r["frequency"] for r in got}
+    assert freqs["the"] == 3 / 10 and freqs["a"] == 2 / 10
+
+
+def test_length_histogram_bounds(spark):
+    from otel_kafka_pg_spark.operators.corpus import length_histogram
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 9), (3, 10), (4, 25)], "doc_id long, n_chars long"
+    )
+    got = {(r["bucket"], r["lo"], r["hi"], r["n_docs"]) for r in length_histogram(df).collect()}
+    assert got == {(0, 0, 10, 2), (1, 10, 20, 1), (2, 20, 30, 1)}
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    from otel_kafka_pg_spark.operators.corpus import bigram_surprisal
+
+    # corpus: doc1 = "a b a b", doc2 = "a c"
+    # unigrams: a×3, b×2, c×1; bigrams: (a,b)×2, (b,a)×1, (a,c)×1
+    # doc1 scores: ab -> floor(3*1000/2)=1500 (×2), ba -> floor(2*1000/1)=2000
+    # doc2 score: ac -> floor(3*1000/1)=3000
+    df = _docs(spark, [(1, "a b a b", "en"), (2, "a c", "en")])
+    got = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[1]["surprisal_sum"] == 1500 * 2 + 2000
+    assert got[2]["n_bigrams"] == 1 and got[2]["surprisal_sum"] == 3000
+    assert got[1]["avg_surprisal"] == (1500 * 2 + 2000) / 3
+
+
+def test_bigram_surprisal_skips_short_docs(spark):
+    from otel_kafka_pg_spark.operators.corpus import bigram_surprisal
+
+    # a 1-token doc has no bigrams -> no output row, but its token still
+    # counts toward the corpus unigram table used by other docs' scores
+    df = _docs(spark, [(1, "solo", "en"), (2, "solo solo", "en")])
+    got = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(got) == {2}
+    # c(solo)=3, c(solo,solo)=1 -> floor(3000/1)=3000
+    assert got[2]["surprisal_sum"] == 3000
+
+
+def test_incremental_dedup_semantics(spark):
+    from otel_kafka_pg_spark.functions.text import md5_60bit
+    from otel_kafka_pg_spark.operators.dedup import incremental_dedup
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hist = _docs(spark, [(1, "seen before", "en")]).select(
+        md5_60bit(norm).alias("fp")
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "seen  BEFORE ", "en"),  # dup of history (normalization folds it)
+            (11, "fresh text", "en"),
+            (12, "fresh text", "en"),  # within-batch dup -> min-id 11 survives
+        ],
+    )
+    got = incremental_dedup(batch, hist).collect()
+    assert [r["doc_id"] for r in got] == [11]
+    assert set(got[0].asDict()) == {"doc_id", "fp"}
