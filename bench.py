@@ -85,6 +85,10 @@ HEADLINE = [
     "tf1_tfidf_top_terms",
     "oov1_vocab_oov_rate",
     "sp1_hash_split",
+    "bpe1_pair_mining",
+    "hh1_heavy_hitters",
+    "lm1_bigram_surprisal",
+    "dd8_incremental_dedup",
     "w4_session_window",
     "st6_stream_upsert",
     "zo1_zorder_values",

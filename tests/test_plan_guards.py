@@ -237,3 +237,48 @@ def test_zordered_write_plan_is_one_range_exchange(spark):
     plan = _plan(laid)
     assert plan.count("Exchange rangepartitioning") == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bpe_pair_mining_one_exchange_takeordered(spark):
+    """bpe1's shuffle contract: the double explode partial-aggregates
+    map-side, so exactly ONE hash exchange ships ≤ |alphabet|² rows per
+    map partition, and the top-k is TakeOrdered — never a global sort."""
+    from otel_kafka_pg_spark.operators.corpus import bpe_pair_mining
+
+    df = bpe_pair_mining(spark.read.parquet(f"{SF}/documents.parquet"), k=50)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_heavy_hitters_total_is_broadcast_not_rescan(spark):
+    """hh1 derives the corpus total by re-aggregating the counts frame and
+    broadcasting the 1-row result — the documents scan must appear in the
+    plan, but never a second shuffle of raw token occurrences for the
+    total (the total's exchange is SinglePartition over already-agg'd
+    rows)."""
+    from otel_kafka_pg_spark.operators.corpus import heavy_hitters
+
+    df = heavy_hitters(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # token-level hash exchanges: one per aggregate consumer of the
+    # exploded tokens (counts, and the total built on top) — never more
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_incremental_dedup_is_anti_join_on_fp(spark):
+    """dd8's contract: the history side participates ONLY as an anti join
+    on the 8-byte fingerprint — no text column crosses the join, so the
+    shuffle payload is bounded by ids+hashes regardless of doc length."""
+    from otel_kafka_pg_spark.functions.text import md5_60bit
+    from otel_kafka_pg_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    seen = docs.filter(F.col("doc_id") < 250).select(md5_60bit(norm).alias("fp"))
+    out = incremental_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+    plan = _plan(out)
+    assert "LeftAnti" in plan
+    assert "text" not in out.columns
