@@ -89,6 +89,9 @@ HEADLINE = [
     "hh1_heavy_hitters",
     "lm1_bigram_surprisal",
     "dd8_incremental_dedup",
+    "fn1_funnel_conversion",
+    "rt1_cohort_retention",
+    "path1_entry_paths",
     "w4_session_window",
     "st6_stream_upsert",
     "zo1_zorder_values",

@@ -1,0 +1,143 @@
+"""Behavioral analytics over event streams: funnels, cohorts, entry paths.
+
+The reference's read side answers "what happened per service over time"
+(modules/log/repository/repository.go:117-214 count/group endpoints); a
+log pipeline at corpus scale additionally answers "what did each USER do
+over time" — ordered funnels, cohort retention, and common entry paths.
+These are the standard session/journey queries every event-log warehouse
+runs, expressed shuffle-minimally:
+
+- ``funnel_conversion``: per-user first-arrival-time chain. All N step
+  times are entire-partition window mins over the SAME
+  ``partitionBy(user)`` spec, so the plan carries exactly ONE hash
+  exchange of the raw events; the cascade (step i counts only events
+  strictly after the user's step-(i-1) time) is row-level comparison
+  against the per-user scalar the previous Window node produced — no
+  self-joins, no N passes over the fact table. The per-user reduction
+  that follows reuses the window's partitioning (no second raw-event
+  shuffle), and everything after it is a handful of rows.
+- ``cohort_retention``: cohort = day of a user's first event; activity
+  offset in whole weeks. One groupBy(user) for the cohort dim, one
+  hash join back on the same key (AQE reuses the partitioning), one
+  count-distinct agg keyed by (cohort_day, week_offset) — a key space
+  bounded by days×weeks, never by users.
+- ``entry_paths``: the first k events per user concatenated into a path
+  string, counted, top-n by (count desc, path asc). One window shuffle
+  on user, then TakeOrdered — no global sort.
+
+At 100 TB the only large shuffle any of these performs is the single
+hash partition of events by user_id; user activity skew is bounded (a
+user's event count is human-scale), and every later stage operates on
+per-user or per-cohort rows that are orders of magnitude smaller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: step i is reached by users whose earliest step-i
+    event is STRICTLY after their earliest qualifying step-(i-1) event.
+
+    Returns one row per step: (step_idx, step, users, conversion) where
+    conversion = users / users-at-step-1 (the single IEEE division; every
+    other value is an exact integer both engines reproduce).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            # strict ordering: a click at the exact signup timestamp does
+            # NOT advance the funnel (ts > t_prev, never >=)
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"_t{i}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    # _ti is constant per user; reduce to one row per user (reuses the
+    # window's hashpartitioning — no new raw-event shuffle), then count.
+    per_user = df.groupBy(user_col).agg(*[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))])
+    totals = per_user.agg(
+        *[
+            F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)).cast("long").alias(f"_u{i}")
+            for i in range(len(steps))
+        ]
+    )
+    tuples = ", ".join(f"{i + 1}, '{s}', _u{i}" for i, s in enumerate(steps))
+    stacked = totals.select(
+        F.expr(f"stack({len(steps)}, {tuples}) AS (step_idx, step, users)"),
+        F.col("_u0").alias("_base"),
+    )
+    return stacked.select(
+        "step_idx",
+        "step",
+        "users",
+        (F.col("users").cast("double") / F.col("_base")).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort × week-offset retention grid.
+
+    cohort_day = date_trunc('day', user's first event); week_offset =
+    floor(days-since-cohort / 7); active_users = distinct users of that
+    cohort active in that week. All integers / timestamps — exact.
+    """
+    first = events.groupBy(user_col).agg(F.date_trunc("day", F.min(ts_col)).alias("cohort_day"))
+    joined = events.select(user_col, ts_col).join(first, user_col)
+    week = F.floor(F.datediff(F.to_date(ts_col), F.to_date("cohort_day")) / F.lit(7)).alias("week_offset")
+    return (
+        joined.groupBy("cohort_day", week)
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+    )
+
+
+def entry_paths(
+    events: DataFrame,
+    k: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Most common entry journeys: the first ``k`` event types per user
+    (ts then tiebreak order), joined with '>', counted, top-``top_n`` by
+    (n_users DESC, path ASC) — a deterministic total order so the cut is
+    engine-stable. Users with fewer than ``k`` events contribute their
+    full (shorter) path.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    firsts = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(user_col)
+        # sorting the (rn, type) structs then projecting the type gives an
+        # order-insensitive exact aggregate (collect_list alone has no
+        # ordering guarantee across tasks)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("_rn"), F.col(type_col).alias("t")))).alias("seq"))
+        .select(F.array_join(F.transform("seq", lambda s: s["t"]), ">").alias("path"))
+    )
+    return (
+        firsts.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top_n)
+    )

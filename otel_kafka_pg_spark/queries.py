@@ -1976,6 +1976,69 @@ def lm1_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@register_extra(
+    "fn1_funnel_conversion",
+    # ordered funnel (operators/behavior.py:funnel_conversion): step i is
+    # reached by users whose earliest step-i event is strictly after their
+    # earliest qualifying step-(i-1) event. Counts are exact integers;
+    # conversion is the one IEEE division (users / step-1 users).
+    "WITH s1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1 "
+    "FROM events GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND s1.t1 IS NOT NULL AND e.ts > s1.t1 "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+    "u AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1 WHERE t1 IS NOT NULL) AS u0, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM s2) AS u1, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM s3) AS u2) "
+    "SELECT 1 AS step_idx, 'signup' AS step, u0 AS users, CAST(u0 AS DOUBLE) / u0 AS conversion FROM u "
+    "UNION ALL SELECT 2, 'click', u1, CAST(u1 AS DOUBLE) / u0 FROM u "
+    "UNION ALL SELECT 3, 'purchase', u2, CAST(u2 AS DOUBLE) / u0 FROM u",
+)
+def fn1_funnel_conversion(spark, sf_dir):
+    from .operators.behavior import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf_dir, "events"), ["signup", "click", "purchase"])
+
+
+@register_extra(
+    "rt1_cohort_retention",
+    # cohort grid (operators/behavior.py:cohort_retention): cohort = day of
+    # a user's first event; week_offset = floor(days-since / 7) — every
+    # value an exact integer or a day-truncated timestamp.
+    "WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day "
+    "FROM events GROUP BY user_id) "
+    "SELECT f.cohort_day, CAST(floor(date_diff('day', CAST(f.cohort_day AS DATE), "
+    "CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset, "
+    "CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users "
+    "FROM events e JOIN f USING (user_id) GROUP BY 1, 2",
+)
+def rt1_cohort_retention(spark, sf_dir):
+    from .operators.behavior import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "path1_entry_paths",
+    # entry-journey mining (operators/behavior.py:entry_paths): first 3
+    # event types per user in (ts, event_id) order, '>'-joined, counted;
+    # the top-20 cut is deterministic (n_users DESC, path ASC).
+    "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+    "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+    "FROM r WHERE rn <= 3 GROUP BY user_id) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path "
+    "ORDER BY n_users DESC, path ASC LIMIT 20",
+)
+def path1_entry_paths(spark, sf_dir):
+    from .operators.behavior import entry_paths
+
+    return entry_paths(_t(spark, sf_dir, "events"), k=3, top_n=20)
+
+
 @register(
     "ct1_benchmark_contamination",
     # docs 0–19 stand in for a held-out benchmark; any other doc sharing a

@@ -1,0 +1,75 @@
+"""Behavioral-analytics semantics probes: funnel strictness at the ts
+boundary, cohort week bucketing at the 7-day edge, short-user entry paths.
+(The sf0.01 DuckDB differential in test_oracle_differential.py covers the
+bulk semantics; these plant adversarial rows the synthetic data may never
+hit.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from otel_kafka_pg_spark.operators.behavior import cohort_retention, entry_paths, funnel_conversion
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def test_funnel_boundary_is_strict(spark):
+    rows = [
+        # user 1: click at the EXACT signup timestamp — must NOT advance
+        (1, T0, 1, "signup"),
+        (2, T0, 1, "click"),
+        # user 2: proper ordered chain signup < click < purchase
+        (3, T0, 2, "signup"),
+        (4, T0 + dt.timedelta(seconds=1), 2, "click"),
+        (5, T0 + dt.timedelta(seconds=2), 2, "purchase"),
+        # user 3: purchase BEFORE the click — step 3 not reached
+        (6, T0, 3, "signup"),
+        (7, T0 + dt.timedelta(seconds=5), 3, "purchase"),
+        (8, T0 + dt.timedelta(seconds=9), 3, "click"),
+        # user 4: never signs up — contributes to no step
+        (9, T0, 4, "click"),
+        (10, T0 + dt.timedelta(seconds=1), 4, "purchase"),
+    ]
+    out = {r["step"]: r for r in funnel_conversion(_ev(spark, rows), ["signup", "click", "purchase"]).collect()}
+    assert out["signup"]["users"] == 3
+    assert out["click"]["users"] == 2  # users 2 and 3; user 1's tie is rejected
+    assert out["purchase"]["users"] == 1  # only user 2 ordered correctly
+    assert out["purchase"]["conversion"] == 1 / 3
+
+
+def test_cohort_week_edge(spark):
+    rows = [
+        # user 1 first seen Jan 1; active day 6 (week 0) and day 7 (week 1)
+        (1, T0, 1, "view"),
+        (2, T0 + dt.timedelta(days=6, hours=23), 1, "view"),
+        (3, T0 + dt.timedelta(days=7), 1, "view"),
+        # user 2 joins the same cohort day, active only at signup
+        (4, T0 + dt.timedelta(hours=5), 2, "view"),
+    ]
+    grid = {
+        (r["cohort_day"].day, r["week_offset"]): r["active_users"]
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert grid[(1, 0)] == 2  # both users active in week 0
+    assert grid[(1, 1)] == 1  # exactly day 7 rolls into week 1
+
+
+def test_entry_paths_short_users_and_ties(spark):
+    rows = [
+        (1, T0, 1, "signup"),
+        (2, T0 + dt.timedelta(seconds=1), 1, "click"),
+        (3, T0 + dt.timedelta(seconds=2), 1, "purchase"),
+        (4, T0 + dt.timedelta(seconds=3), 1, "error"),  # 4th event ignored (k=3)
+        (5, T0, 2, "signup"),  # short user: 1-event path
+        # user 3: two events at the SAME ts — event_id breaks the tie
+        (7, T0, 3, "view"),
+        (6, T0, 3, "click"),
+    ]
+    out = {r["path"]: r["n_users"] for r in entry_paths(_ev(spark, rows), k=3).collect()}
+    assert out == {"signup>click>purchase": 1, "signup": 1, "click>view": 1}

@@ -268,6 +268,48 @@ def test_heavy_hitters_total_is_broadcast_not_rescan(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_funnel_is_one_raw_event_exchange(spark):
+    """fn1's shuffle contract: all three per-user first-arrival times are
+    entire-partition window mins over the SAME partitionBy(user_id) spec,
+    so the raw events cross exactly ONE hash exchange; everything after
+    (per-user reduce, totals, stack) is a SinglePartition of tiny rows."""
+    from otel_kafka_pg_spark.operators.behavior import funnel_conversion
+
+    df = funnel_conversion(
+        spark.read.parquet(f"{SF}/events.parquet"), ["signup", "click", "purchase"]
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 3  # stacked on one partitioning, no re-shuffle
+
+
+def test_entry_paths_group_limit_pushed_mapside(spark):
+    """path1's scale story: the rn<=3 cut must appear as a PARTIAL
+    WindowGroupLimit below the user shuffle (only <=k rows per user per
+    task cross the wire), and the top-20 must be TakeOrdered, never a
+    global sort."""
+    from otel_kafka_pg_spark.operators.behavior import entry_paths
+
+    df = entry_paths(spark.read.parquet(f"{SF}/events.parquet"), k=3, top_n=20)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # user window, path count
+
+
+def test_cohort_retention_no_unkeyed_join(spark):
+    """rt1: the cohort dim joins back on user_id as a keyed (broadcast or
+    hash) join — never a nested-loop/cartesian — and the grid agg stays
+    keyed by (cohort_day, week_offset)."""
+    from otel_kafka_pg_spark.operators.behavior import cohort_retention
+
+    df = cohort_retention(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # dim agg + distinct expand + grid
+
+
 def test_incremental_dedup_is_anti_join_on_fp(spark):
     """dd8's contract: the history side participates ONLY as an anti join
     on the 8-byte fingerprint — no text column crosses the join, so the
