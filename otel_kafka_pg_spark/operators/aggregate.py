@@ -317,3 +317,63 @@ def merge_agg_deltas(
             for c in sum_cols
         ],
     )
+
+
+def spike_hours(
+    events: DataFrame,
+    window_hours: int = 6,
+    z_thresh: int = 3,
+    min_history: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Integer-exact z-score spike detection over hourly event counts —
+    the alerting query a log pipeline pages on, with NO floating point
+    anywhere, so both engines reproduce the flag bit-for-bit.
+
+    Aggregate FIRST: the only fact-sized shuffle keys on
+    (event_type, hour); the trailing window then runs over the tiny
+    bucketed frame (|types| x |hours| rows), partitioned by type — never
+    an unpartitioned global sort. The frame is the previous
+    ``window_hours`` OBSERVED buckets (ROWS, not RANGE: silent hours
+    compress; document the series as gap-free or densify upstream).
+
+    z > t over population variance, kept in integers:
+        mean mu = s1/n, var = (n*s2 - s1^2)/n^2, z^2 = (n*x - s1)^2 / (n*s2 - s1^2)
+    so  spike <=> n >= min_history AND n*x > s1
+                  AND (n*x - s1)^2 > t^2 * (n*s2 - s1^2).
+    A constant history (zero variance) makes any increase a spike — the
+    deterministic convention alerting systems use for flatlines.
+    """
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(
+        type_col, F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy(type_col).orderBy("hour").rowsBetween(-window_hours, -1)
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    s2 = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0)).cast("long")
+    scored = hourly.select(
+        type_col,
+        "hour",
+        "cnt",
+        n.cast("long").alias("n_hist"),
+        s1.alias("hist_sum"),
+        s2.alias("_sumsq"),
+    )
+    dev = F.col("n_hist") * F.col("cnt") - F.col("hist_sum")
+    var_n2 = F.col("n_hist") * F.col("_sumsq") - F.col("hist_sum") * F.col("hist_sum")
+    spike = (
+        (F.col("n_hist") >= min_history)
+        & (dev > 0)
+        & (dev * dev > F.lit(z_thresh * z_thresh) * var_n2)
+    )
+    return scored.select(
+        type_col,
+        "hour",
+        "cnt",
+        "n_hist",
+        "hist_sum",
+        F.when(spike, 1).otherwise(0).cast("long").alias("spike"),
+    )

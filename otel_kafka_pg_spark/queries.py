@@ -1977,6 +1977,32 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "az1_spike_hours",
+    # integer-exact z-score alerting (operators/aggregate.py:spike_hours):
+    # spike <=> n>=3 AND n*x > s1 AND (n*x-s1)^2 > 9*(n*s2-s1^2) over the
+    # 6 previous observed hourly buckets — population variance kept in
+    # BIGINT, so the flag matches bit-for-bit across engines.
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, hour, cnt, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_hist, "
+    "CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS hist_sum, "
+    "CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq "
+    "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, hour, cnt, n_hist, hist_sum, "
+    "CAST(CASE WHEN n_hist >= 3 AND n_hist * cnt > hist_sum "
+    "AND (n_hist * cnt - hist_sum) * (n_hist * cnt - hist_sum) > "
+    "9 * (n_hist * sumsq - hist_sum * hist_sum) THEN 1 ELSE 0 END AS BIGINT) AS spike "
+    "FROM s",
+)
+def az1_spike_hours(spark, sf_dir):
+    from .operators.aggregate import spike_hours
+
+    return spike_hours(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
     "fn1_funnel_conversion",
     # ordered funnel (operators/behavior.py:funnel_conversion): step i is
     # reached by users whose earliest step-i event is strictly after their

@@ -73,3 +73,33 @@ def test_entry_paths_short_users_and_ties(spark):
     ]
     out = {r["path"]: r["n_users"] for r in entry_paths(_ev(spark, rows), k=3).collect()}
     assert out == {"signup>click>purchase": 1, "signup": 1, "click>view": 1}
+
+
+def test_spike_hours_boundary_and_flatline(spark):
+    from otel_kafka_pg_spark.operators.aggregate import spike_hours
+
+    rows = []
+    eid = 0
+    # 6 flat history hours at 10 events, then an hour at 11: flatline
+    # convention — zero variance, any increase is a spike
+    for h in range(6):
+        for _ in range(10):
+            rows.append((eid, T0 + dt.timedelta(hours=h), 1, "error")); eid += 1
+    for _ in range(11):
+        rows.append((eid, T0 + dt.timedelta(hours=6), 1, "error")); eid += 1
+    # a second series with real variance: history 8,12,8,12,8,12
+    # (mean 10, pop-var 4, sigma 2) -> 16 is exactly z=3: strict >, NOT a
+    # spike; 17 (z=3.5) is
+    for h, c in enumerate([8, 12, 8, 12, 8, 12, 16]):
+        for _ in range(c):
+            rows.append((eid, T0 + dt.timedelta(hours=h), 1, "view")); eid += 1
+    for h, c in enumerate([8, 12, 8, 12, 8, 12, 17]):
+        for _ in range(c):
+            rows.append((eid, T0 + dt.timedelta(hours=h), 1, "click")); eid += 1
+    ev = _ev(spark, rows)
+    out = {(r["event_type"], r["hour"].hour): r["spike"] for r in spike_hours(ev).collect()}
+    assert out[("error", 6)] == 1  # flatline increase
+    assert out[("error", 5)] == 0  # inside flat history
+    assert out[("view", 6)] == 0   # z == 3 exactly: strict threshold
+    assert out[("click", 6)] == 1  # z = 3.5
+    assert out[("view", 0)] == 0   # n_hist < 3: never flags

@@ -324,3 +324,16 @@ def test_incremental_dedup_is_anti_join_on_fp(spark):
     plan = _plan(out)
     assert "LeftAnti" in plan
     assert "text" not in out.columns
+
+
+def test_spike_hours_aggregates_before_window(spark):
+    """az1's scale contract: the only fact-sized shuffle is the
+    (event_type, hour) aggregate; the trailing window runs over the tiny
+    bucketed frame (second keyed exchange on event_type). Exactly two
+    hash exchanges, no global sort."""
+    from otel_kafka_pg_spark.operators.aggregate import spike_hours
+
+    df = spike_hours(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan
