@@ -1977,6 +1977,24 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "cd1_approx_distinct",
+    # rows-only by design: HLL++ register contents are engine-specific, so
+    # no cross-engine hash can exist — the 5%-relative-error bound vs the
+    # exact count is pinned locally (tests/test_behavior.py). At 100 TB
+    # this replaces the count-distinct expand shuffle (every (group, user)
+    # pair crosses the wire) with fixed 2^p-byte sketches that merge
+    # map-side — the only sane distinct-user counter at that scale.
+    None,
+)
+def cd1_approx_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register_extra(
     "az1_spike_hours",
     # integer-exact z-score alerting (operators/aggregate.py:spike_hours):
     # spike <=> n>=3 AND n*x > s1 AND (n*x-s1)^2 > 9*(n*s2-s1^2) over the

@@ -103,3 +103,15 @@ def test_spike_hours_boundary_and_flatline(spark):
     assert out[("view", 6)] == 0   # z == 3 exactly: strict threshold
     assert out[("click", 6)] == 1  # z = 3.5
     assert out[("view", 0)] == 0   # n_hist < 3: never flags
+
+
+def test_approx_distinct_error_bound(spark):
+    """cd1's quality contract (rows-only at the driver): HLL++ at rsd=0.02
+    stays within 5% relative error of the exact distinct count per group
+    on the sf0.01 events table."""
+    from otel_kafka_pg_spark.queries import EXTRA_REGISTRY
+
+    fn, sql = EXTRA_REGISTRY["cd1_approx_distinct"]
+    assert sql is None  # rows-only by design, never silently "oracled"
+    for r in fn(spark, "/root/testdata/sf0.01").collect():
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
