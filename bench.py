@@ -89,6 +89,7 @@ HEADLINE = [
     "hh1_heavy_hitters",
     "lm1_bigram_surprisal",
     "dd8_incremental_dedup",
+    "tx1_text_normalize",
     "az1_spike_hours",
     "fn1_funnel_conversion",
     "rt1_cohort_retention",

@@ -309,3 +309,17 @@ def hashed_shingles(col: Column | str, k: int = 3) -> Column:
     )
     # short docs (< k tokens): the whole text as one shingle, like word_shingles
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Corpus-ingest text normalization: strip C0/DEL control characters,
+    collapse whitespace runs to one space, trim. Pure JVM regexp_replace —
+    the pattern subset has identical java.util.regex / RE2 semantics (the
+    px1 discipline), so an independent engine reproduces the bytes exactly.
+    Zero shuffle, O(len) per row, whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, CONTROL_CHARS, "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

@@ -1977,6 +1977,29 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "tx1_text_normalize",
+    # ingest normalization (functions/text.py:clean_text): strip C0/DEL
+    # control chars, collapse whitespace, trim — emitted as sha256 of the
+    # cleaned text plus the integer length delta, so the oracle checks the
+    # exact BYTES of the normalization, not a summary.
+    "WITH c AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace(text, "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g')) AS clean "
+    "FROM documents) "
+    "SELECT doc_id, sha256(clean) AS clean_sha, "
+    "CAST(len(text) - len(clean) AS BIGINT) AS n_removed FROM c",
+)
+def tx1_text_normalize(spark, sf_dir):
+    from .functions.text import clean_text
+
+    clean = clean_text("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(clean, 256).alias("clean_sha"),
+        (F.length("text") - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
+@register_extra(
     "cd1_approx_distinct",
     # rows-only by design: HLL++ register contents are engine-specific, so
     # no cross-engine hash can exist — the 5%-relative-error bound vs the

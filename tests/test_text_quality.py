@@ -95,3 +95,22 @@ def test_t7_zero_shuffle_plan(spark, tmp_path):
     fn, _ = REGISTRY["t7_repetition_signals"]
     plan = fn(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clean_text_exact_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from otel_kafka_pg_spark.functions.text import clean_text
+
+    rows = [
+        (0, "hello\x00\x07world"),          # control chars deleted, no space added
+        (1, "  a\t\tb\nc   d  "),            # whitespace runs -> single spaces, trimmed
+        (2, "already clean"),
+        (3, "\x1f\x7f"),                     # only control chars -> empty string
+    ]
+    out = dict(
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", clean_text("text").alias("c"))
+        .collect()
+    )
+    assert out == {0: "helloworld", 1: "a b c d", 2: "already clean", 3: ""}
