@@ -91,6 +91,9 @@ HEADLINE = [
     "dd8_incremental_dedup",
     "tx1_text_normalize",
     "az1_spike_hours",
+    "mb1_event_type_affinity",
+    "eg1_engagement_histogram",
+    "wau1_rolling_active_users",
     "fn1_funnel_conversion",
     "rt1_cohort_retention",
     "path1_entry_paths",

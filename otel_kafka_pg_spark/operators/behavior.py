@@ -141,3 +141,66 @@ def entry_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def event_type_affinity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket affinity: for each unordered pair of event types,
+    how many users performed BOTH. Distinct (user, type) first — the
+    self-join then runs over at most |users| x |types| rows (never raw
+    events), co-partitioned on user so the join is exchange-cheap; the
+    pair key space is |types| choose 2, so the final agg is tiny."""
+    ut = events.select(user_col, type_col).distinct()
+    a = ut.withColumnRenamed(type_col, "type_a")
+    b = ut.withColumnRenamed(type_col, "type_b")
+    pairs = a.join(b, user_col).filter(F.col("type_a") < F.col("type_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def engagement_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Engagement distribution: how many users produced exactly N events.
+    Two keyed aggregations (user -> count, count -> users); the second
+    operates on one row per user. The standard data-card 'activity
+    histogram' a corpus over user-generated turns reports."""
+    per_user = events.groupBy(user_col).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return per_user.groupBy("n_events").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window active users (the WAU curve): for each day, the
+    distinct users active in the preceding ``window_days`` days
+    (inclusive). Sliding-window COUNT DISTINCT does not decompose, so
+    the scale-sane exact form is contribution fan-out: each distinct
+    (user, activity-day) row explodes into the ``window_days`` report
+    days it contributes to — a bounded x7 blow-up of the already-distinct
+    per-day frame, NOT a per-day rescan of raw events (365 rescans/year)
+    and NOT a global sort. Report days trail past the last activity day
+    by up to window_days-1 (a user active on the final day is still
+    'active this week' for the next 6 report days)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    ud = events.select(F.col(user_col).alias("u"), day.alias("aday")).distinct()
+    days = F.explode(
+        F.sequence(
+            F.col("aday"),
+            F.col("aday") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("report_day")
+    return (
+        ud.select("u", days)
+        .groupBy("report_day")
+        .agg(F.count_distinct("u").alias("active_users"))
+    )

@@ -1977,6 +1977,54 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "mb1_event_type_affinity",
+    # market-basket pairs (operators/behavior.py:event_type_affinity):
+    # distinct (user, type) FIRST, so the self-join never sees raw events.
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM ut a "
+    "JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "GROUP BY 1, 2",
+)
+def mb1_event_type_affinity(spark, sf_dir):
+    from .operators.behavior import event_type_affinity
+
+    return event_type_affinity(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "eg1_engagement_histogram",
+    # activity distribution (operators/behavior.py:engagement_histogram):
+    # users-per-event-count — two keyed aggs, all integers.
+    "WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY user_id) "
+    "SELECT n_events, CAST(count(*) AS BIGINT) AS n_users FROM pu GROUP BY n_events",
+)
+def eg1_engagement_histogram(spark, sf_dir):
+    from .operators.behavior import engagement_histogram
+
+    return engagement_histogram(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "wau1_rolling_active_users",
+    # trailing 7-day active users (operators/behavior.py:
+    # rolling_active_users): sliding COUNT DISTINCT via contribution
+    # fan-out — each distinct (user, day) explodes into the 7 report days
+    # it serves, instead of 365 rescans/year or a global sort.
+    "WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS aday FROM events), "
+    "x AS (SELECT user_id, unnest(generate_series(aday, aday + INTERVAL 6 DAY, "
+    "INTERVAL 1 DAY)) AS report_day FROM ud) "
+    "SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users "
+    "FROM x GROUP BY report_day",
+)
+def wau1_rolling_active_users(spark, sf_dir):
+    from .operators.behavior import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@register_extra(
     "tx1_text_normalize",
     # ingest normalization (functions/text.py:clean_text): strip C0/DEL
     # control chars, collapse whitespace, trim — emitted as sha256 of the

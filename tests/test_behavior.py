@@ -115,3 +115,36 @@ def test_approx_distinct_error_bound(spark):
     assert sql is None  # rows-only by design, never silently "oracled"
     for r in fn(spark, "/root/testdata/sf0.01").collect():
         assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
+
+
+def test_rolling_active_users_window_edges(spark):
+    from otel_kafka_pg_spark.operators.behavior import rolling_active_users
+
+    rows = [
+        (1, T0, 1, "view"),                           # user 1 active day 0 only
+        (2, T0 + dt.timedelta(days=3), 2, "view"),    # user 2 active day 3
+        (3, T0 + dt.timedelta(days=3, hours=4), 2, "click"),  # same day: counted once
+    ]
+    out = {
+        (r["report_day"] - T0).days: r["active_users"]
+        for r in rolling_active_users(_ev(spark, rows), window_days=7).collect()
+    }
+    assert out[0] == 1 and out[3] == 2  # both users active in day-3's trailing week
+    assert out[6] == 2                  # day-0 activity still counts on day 6
+    assert out[7] == 1                  # ... but ages out on day 7
+    assert out[9] == 1 and max(out) == 9  # day-3 activity serves through day 9
+
+
+def test_event_type_affinity_unordered_distinct(spark):
+    from otel_kafka_pg_spark.operators.behavior import event_type_affinity
+
+    rows = [
+        (1, T0, 1, "click"),
+        (2, T0, 1, "view"),
+        (3, T0, 1, "view"),   # repeat: still ONE (click,view) pair for user 1
+        (4, T0, 2, "view"),
+        (5, T0, 2, "click"),  # order of occurrence irrelevant: same unordered pair
+        (6, T0, 3, "click"),  # single-type user contributes no pair
+    ]
+    out = {(r["type_a"], r["type_b"]): r["n_users"] for r in event_type_affinity(_ev(spark, rows)).collect()}
+    assert out == {("click", "view"): 2}

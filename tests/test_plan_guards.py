@@ -337,3 +337,30 @@ def test_spike_hours_aggregates_before_window(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rolling_active_users_explodes_after_distinct(spark):
+    """wau1's contract: the x7 contribution fan-out (Generate) must sit
+    ABOVE the (user, day) distinct — exploding raw events first would
+    multiply the fact table by the window size before deduping."""
+    from otel_kafka_pg_spark.operators.behavior import rolling_active_users
+
+    df = rolling_active_users(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    # top-down plan text: the Generate must appear before (above) the
+    # bottom-most HashAggregate (the distinct's partial agg)
+    assert plan.find("Generate explode") < plan.rfind("HashAggregate")
+    assert plan.count("Exchange hashpartitioning") == 3  # distinct, expand, day agg
+
+
+def test_affinity_self_join_is_keyed_over_distinct(spark):
+    """mb1: the self-join runs over the distinct (user, type) frame with a
+    keyed join — never a cartesian — and raw events shuffle only once
+    (the distinct)."""
+    from otel_kafka_pg_spark.operators.behavior import event_type_affinity
+
+    df = event_type_affinity(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
