@@ -91,6 +91,9 @@ HEADLINE = [
     "dd8_incremental_dedup",
     "tx1_text_normalize",
     "az1_spike_hours",
+    "gr2_transition_matrix",
+    "sk1_hot_keys",
+    "dq1_table_profile",
     "mb1_event_type_affinity",
     "eg1_engagement_histogram",
     "wau1_rolling_active_users",

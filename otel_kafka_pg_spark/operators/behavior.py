@@ -204,3 +204,57 @@ def rolling_active_users(
         .groupBy("report_day")
         .agg(F.count_distinct("u").alias("active_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts: for each (from_type, to_type),
+    how many times a user's event of from_type was IMMEDIATELY followed by
+    to_type (per-user (ts, tiebreak) order). One window shuffle on user;
+    the transition agg's key space is |types|^2. The journey-analytics
+    complement to entry_paths: all transitions, not just the first k."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+def hot_keys(
+    events: DataFrame,
+    key_col: str = "user_id",
+    top_n: int = 10,
+    per_mille_threshold: int = 20,
+) -> DataFrame:
+    """Skew diagnostic: the top-N heaviest keys with their row share and an
+    integer-exact 'hot' flag (n*1000 >= threshold*total) — the report you
+    run BEFORE keying a 100 TB join, to decide whether salting / AQE skew
+    handling is needed. One keyed count; the total is re-aggregated from
+    the counts frame (never a second fact scan, the hh1 discipline) and
+    broadcast; top-N is TakeOrdered by (n DESC, key ASC)."""
+    counts = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("total_rows"))
+        .withColumn(
+            "hot",
+            F.when(F.col("n") * 1000 >= per_mille_threshold * F.col("total_rows"), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_n)
+    )

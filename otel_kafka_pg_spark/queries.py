@@ -1977,6 +1977,65 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "gr2_transition_matrix",
+    # first-order Markov transitions (operators/behavior.py:
+    # transition_matrix): per-user (ts, event_id)-ordered lead pairs.
+    "WITH s AS (SELECT event_type AS from_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events) "
+    "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions "
+    "FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2",
+)
+def gr2_transition_matrix(spark, sf_dir):
+    from .operators.behavior import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "sk1_hot_keys",
+    # skew diagnostic (operators/behavior.py:hot_keys): top-10 heaviest
+    # user keys, integer-exact hot flag at 20 per-mille, share is the one
+    # IEEE division; deterministic cut (n DESC, key ASC).
+    "WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY user_id), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows FROM c) "
+    "SELECT key, n, total_rows, CAST(n AS DOUBLE) / total_rows AS share, "
+    "CAST(CASE WHEN n * 1000 >= 20 * total_rows THEN 1 ELSE 0 END AS BIGINT) AS hot "
+    "FROM c, t ORDER BY n DESC, key ASC LIMIT 10",
+)
+def sk1_hot_keys(spark, sf_dir):
+    from .operators.behavior import hot_keys
+
+    return hot_keys(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "dq1_table_profile",
+    # data-card profile (the observability report a corpus publishes):
+    # per-type row count, distinct users, ts bounds, value bounds — min/max
+    # of doubles are exact SELECTIONS (no FP accumulation), everything else
+    # integer/timestamp.
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "min(ts) AS first_ts, max(ts) AS last_ts, "
+    "min(value) AS min_value, max(value) AS max_value, "
+    "CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null_props "
+    "FROM events GROUP BY event_type",
+)
+def dq1_table_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("n_null_props"),
+    )
+
+
+@register_extra(
     "mb1_event_type_affinity",
     # market-basket pairs (operators/behavior.py:event_type_affinity):
     # distinct (user, type) FIRST, so the self-join never sees raw events.

@@ -148,3 +148,37 @@ def test_event_type_affinity_unordered_distinct(spark):
     ]
     out = {(r["type_a"], r["type_b"]): r["n_users"] for r in event_type_affinity(_ev(spark, rows)).collect()}
     assert out == {("click", "view"): 2}
+
+
+def test_transition_matrix_respects_user_boundary(spark):
+    from otel_kafka_pg_spark.operators.behavior import transition_matrix
+
+    rows = [
+        (1, T0, 1, "signup"),
+        (2, T0 + dt.timedelta(seconds=1), 1, "click"),
+        # user 2 starts with "purchase": NO click->purchase transition may
+        # leak across the user boundary
+        (3, T0 + dt.timedelta(seconds=2), 2, "purchase"),
+        (4, T0 + dt.timedelta(seconds=3), 2, "view"),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_matrix(_ev(spark, rows)).collect()
+    }
+    assert out == {("signup", "click"): 1, ("purchase", "view"): 1}
+
+
+def test_hot_keys_flag_boundary(spark):
+    from otel_kafka_pg_spark.operators.behavior import hot_keys
+
+    # 100 rows total: user 1 has exactly 2 (2% == the 20-per-mille
+    # threshold: >= makes it hot), user 2 has 1 (cold), user 3 has 97
+    rows = []
+    eid = 0
+    for u, cnt in [(1, 2), (2, 1), (3, 97)]:
+        for _ in range(cnt):
+            rows.append((eid, T0, u, "view")); eid += 1
+    out = {r["key"]: (r["n"], r["hot"]) for r in hot_keys(_ev(spark, rows)).collect()}
+    assert out[3] == (97, 1)
+    assert out[1] == (2, 1)   # boundary: exactly at threshold is hot
+    assert out[2] == (1, 0)
