@@ -97,7 +97,13 @@ def register_extra(name: str, oracle: str | None):
 # c1 — every one hash-green in CORRECTNESS_r03, rotated to extras where
 # the local DuckDB replica keeps gating them), so every operator family
 # added this round faces the real driver in r4. The window is now 100%
-# oracled (zero rows-only entries).
+# oracled (zero rows-only entries). POST-FINAL rotation (same principle):
+# five of the behavioral/quality ops added at the very end of r4 — lm1
+# bigram surprisal, fn1 funnel, az1 spike detection, wau1 rolling active
+# users, gr2 transition matrix — take the slots of five multi-round
+# driver-green entries (e1, t1, t6, dp1, dd4: each hash-green in at least
+# r2∧r3), so the new family gets a hard driver row in r4 with r5 as the
+# recovery round rather than a single no-recovery shot in r5.
 DRIVER_ORDER = [
     "p1_pipeline_severity_counts",
     "p2_pipeline_route_distribution",
@@ -122,13 +128,13 @@ DRIVER_ORDER = [
     "pv1_pivot_user_type_counts",
     "sc4_numeric_stats",
     "t2b_lang_id_cjk",
-    "dd4_simhash_near_pairs",
-    "t1_text_profile",
-    "t6_winnowing_fingerprints",
-    "dp1_corpus_prep_dedup",
+    "gr2_transition_matrix",
+    "fn1_funnel_conversion",
+    "az1_spike_hours",
+    "wau1_rolling_active_users",
     "dp2_corpus_prep_full",
     "dd5_embedding_cosine_near_dup",
-    "e1_cosine_topk",
+    "lm1_bigram_surprisal",
     "e2_lsh_ann_topk",
     "e3_ivf_ann_topk",
     "mm1_media_features",
@@ -1229,7 +1235,7 @@ _DD4_SIM_CTE = (
 )
 
 
-@register(
+@register_extra(
     "dd4_simhash_near_pairs",
     # exact oracle for the WHOLE operator (token hash → bit votes →
     # candidate join → Hamming filter): brute-force pairwise Hamming over
@@ -1348,7 +1354,7 @@ _T1_SQL = (
 )
 
 
-@register("t1_text_profile", _T1_SQL)
+@register_extra("t1_text_profile", _T1_SQL)
 def t1_text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1584,7 +1590,7 @@ def t8_gopher_quality_filter(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "dp1_corpus_prep_dedup",
     f"WITH {_QUALITY_SQL_CTE}, "
     "f AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
@@ -1950,7 +1956,7 @@ def dd8_incremental_dedup(spark, sf_dir):
     return incremental_dedup(docs.filter(F.col("doc_id") >= 250), seen)
 
 
-@register_extra(
+@register(
     "lm1_bigram_surprisal",
     # KenLM-filter shape made integer-exact (operators/corpus.py:
     # bigram_surprisal): per-bigram score = floor(c(w1)*1000 / c(w1,w2))
@@ -1976,7 +1982,7 @@ def lm1_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
-@register_extra(
+@register(
     "gr2_transition_matrix",
     # first-order Markov transitions (operators/behavior.py:
     # transition_matrix): per-user (ts, event_id)-ordered lead pairs.
@@ -2065,7 +2071,7 @@ def eg1_engagement_histogram(spark, sf_dir):
     return engagement_histogram(_t(spark, sf_dir, "events"))
 
 
-@register_extra(
+@register(
     "wau1_rolling_active_users",
     # trailing 7-day active users (operators/behavior.py:
     # rolling_active_users): sliding COUNT DISTINCT via contribution
@@ -2124,7 +2130,7 @@ def cd1_approx_distinct(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "az1_spike_hours",
     # integer-exact z-score alerting (operators/aggregate.py:spike_hours):
     # spike <=> n>=3 AND n*x > s1 AND (n*x-s1)^2 > 9*(n*s2-s1^2) over the
@@ -2150,7 +2156,7 @@ def az1_spike_hours(spark, sf_dir):
     return spike_hours(_t(spark, sf_dir, "events"))
 
 
-@register_extra(
+@register(
     "fn1_funnel_conversion",
     # ordered funnel (operators/behavior.py:funnel_conversion): step i is
     # reached by users whose earliest step-i event is strictly after their
@@ -2591,7 +2597,7 @@ def dp6_corpus_prep_modern(spark, sf_dir):
     ).select("source", "doc_id", "rn", "quota", "n_clean_chars")
 
 
-@register(
+@register_extra(
     "t6_winnowing_fingerprints",
     # exact cross-engine oracle for the full winnowing pipeline via the
     # md5-portable hash twin (normalize → char 5-grams → 60-bit md5 hash →
@@ -2659,7 +2665,7 @@ _E1_ORACLE = (
 )
 
 
-@register("e1_cosine_topk", _E1_ORACLE)
+@register_extra("e1_cosine_topk", _E1_ORACLE)
 def e1_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
