@@ -258,3 +258,92 @@ def hot_keys(
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(top_n)
     )
+
+
+def ab_arm_conversion(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    enter_type: str = "signup",
+    n_arms: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Experiment-analytics readout: assign every user to an arm by a
+    PORTABLE deterministic hash (md5 of the id string, 60-bit, mod
+    n_arms — the sp1 split discipline: RNG-free, any engine re-derives
+    the same assignment), then report per-arm entered / converted user
+    counts and the conversion rate (one IEEE division; counts exact).
+    One groupBy(user) over events, then an |arms|-row aggregate."""
+    from ..functions.text import md5_60bit
+
+    arm = F.pmod(md5_60bit(F.col(user_col).cast("string")), F.lit(n_arms)).alias("arm")
+    per_user = events.groupBy(user_col).agg(
+        F.max(F.when(F.col(type_col) == enter_type, 1).otherwise(0)).alias("_entered"),
+        F.max(F.when(F.col(type_col) == convert_type, 1).otherwise(0)).alias("_converted"),
+    )
+    return (
+        per_user.select(arm, "_entered", "_converted")
+        .groupBy("arm")
+        .agg(
+            F.sum("_entered").cast("long").alias("entered"),
+            # converted counts only users who ALSO entered (intent-to-treat)
+            F.sum(F.col("_entered") * F.col("_converted")).cast("long").alias("converted"),
+        )
+        .withColumn("conversion", F.col("converted").cast("double") / F.col("entered"))
+    )
+
+
+def conversion_time_percentiles(
+    events: DataFrame,
+    start_type: str = "signup",
+    end_type: str = "purchase",
+    quantiles: Sequence[int] = (50, 90),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: per converting user, the whole-second
+    delta from first start_type event to the first end_type event strictly
+    after it; reported as DISCRETE percentiles (the value at rank
+    ceil(q/100 * n) in ascending order — an actual observed integer, no
+    interpolation, so both engines agree bit-for-bit).
+
+    The per-user deltas frame has one row per converting user; the exact
+    percentile needs a total order over it. That is the known cost of
+    EXACT percentiles (same stance as a7): the global sort runs over the
+    small per-user frame, never raw events, and the production path at
+    10^9-user scale is the approx-sketch twin (cd1's discipline)."""
+    w = Window.partitionBy(user_col)
+    t1 = F.min(F.when(F.col(type_col) == start_type, F.col(ts_col))).over(w)
+    df = events.withColumn("_t1", t1)
+    t2 = F.min(
+        F.when((F.col(type_col) == end_type) & (F.col(ts_col) > F.col("_t1")), F.col(ts_col))
+    ).over(w)
+    per_user = (
+        df.withColumn("_t2", t2)
+        .groupBy(user_col)
+        .agg(F.max("_t1").alias("t1"), F.max("_t2").alias("t2"))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            (F.col("t2").cast("timestamp").cast("long") - F.col("t1").cast("timestamp").cast("long")).alias(
+                "delta_s"
+            )
+        )
+    )
+    n = per_user.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = per_user.crossJoin(F.broadcast(n)).select(
+        "delta_s", "n", F.row_number().over(Window.orderBy("delta_s")).alias("rk")
+    )
+    qs = ", ".join(str(q) for q in quantiles)
+    picked = ranked.filter(
+        F.expr(f"exists(array({qs}), q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))")
+    )
+    return picked.select(
+        F.explode(
+            F.filter(
+                F.expr(f"array({qs})"),
+                lambda q: F.col("rk") == F.ceil(q / F.lit(100.0) * F.col("n")).cast("long"),
+            )
+        ).alias("pct"),
+        F.col("delta_s").alias("seconds"),
+    )

@@ -1982,6 +1982,52 @@ def lm1_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@register_extra(
+    "ab1_arm_conversion",
+    # experiment readout (operators/behavior.py:ab_arm_conversion):
+    # portable md5_60bit hash-mod arm assignment (the sp1 discipline),
+    # intent-to-treat converted counts, one IEEE division per arm.
+    "WITH pu AS (SELECT user_id, "
+    "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS entered, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm, "
+    "entered, converted FROM pu) "
+    "SELECT arm, CAST(sum(entered) AS BIGINT) AS entered, "
+    "CAST(sum(entered * converted) AS BIGINT) AS converted, "
+    "CAST(sum(entered * converted) AS DOUBLE) / sum(entered) AS conversion "
+    "FROM a GROUP BY arm",
+)
+def ab1_arm_conversion(spark, sf_dir):
+    from .operators.behavior import ab_arm_conversion
+
+    return ab_arm_conversion(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "sv1_conversion_time_percentiles",
+    # time-to-convert (operators/behavior.py:conversion_time_percentiles):
+    # DISCRETE percentiles — the observed integer second delta at rank
+    # ceil(q/100*n) — no interpolation, bit-identical across engines.
+    "WITH s1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1 "
+    "FROM events GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND s1.t1 IS NOT NULL AND e.ts > s1.t1 "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+    "d AS (SELECT CAST(date_diff('second', s1.t1, s2.t2) AS BIGINT) AS delta_s "
+    "FROM s2 JOIN s1 USING (user_id)), "
+    "r AS (SELECT delta_s, row_number() OVER (ORDER BY delta_s) AS rk, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM d) AS n FROM d) "
+    "SELECT unnest(list_filter([50, 90], q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))) AS pct, "
+    "delta_s AS seconds FROM r "
+    "WHERE len(list_filter([50, 90], q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))) > 0",
+)
+def sv1_conversion_time_percentiles(spark, sf_dir):
+    from .operators.behavior import conversion_time_percentiles
+
+    return conversion_time_percentiles(_t(spark, sf_dir, "events"))
+
+
 @register(
     "gr2_transition_matrix",
     # first-order Markov transitions (operators/behavior.py:

@@ -182,3 +182,35 @@ def test_hot_keys_flag_boundary(spark):
     assert out[3] == (97, 1)
     assert out[1] == (2, 1)   # boundary: exactly at threshold is hot
     assert out[2] == (1, 0)
+
+
+def test_conversion_percentiles_rank_semantics(spark):
+    from otel_kafka_pg_spark.operators.behavior import conversion_time_percentiles
+
+    # 4 converting users with deltas 10, 20, 20, 40 seconds (ties included)
+    # p50 -> rank ceil(0.5*4)=2 -> 20; p90 -> rank ceil(0.9*4)=4 -> 40
+    rows = []
+    eid = 0
+    for u, delta in [(1, 10), (2, 20), (3, 20), (4, 40)]:
+        rows.append((eid, T0, u, "signup")); eid += 1
+        rows.append((eid, T0 + dt.timedelta(seconds=delta), u, "purchase")); eid += 1
+    rows.append((eid, T0, 9, "signup"))  # non-converting user: excluded
+    out = {r["pct"]: r["seconds"] for r in conversion_time_percentiles(_ev(spark, rows)).collect()}
+    assert out == {50: 20, 90: 40}
+
+
+def test_ab_arm_intent_to_treat(spark):
+    from otel_kafka_pg_spark.operators.behavior import ab_arm_conversion
+
+    rows = [
+        (1, T0, 1, "signup"),
+        (2, T0, 1, "purchase"),
+        (3, T0, 2, "purchase"),  # converted WITHOUT entering: must not count
+        (4, T0, 3, "signup"),
+    ]
+    out = ab_arm_conversion(_ev(spark, rows)).collect()
+    assert sum(r["entered"] for r in out) == 2
+    assert sum(r["converted"] for r in out) == 1
+    # determinism: arms are a pure function of user_id
+    again = ab_arm_conversion(_ev(spark, rows)).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
