@@ -85,7 +85,7 @@ def test_query_vec_null_vec0_falls_back_with_table_dim(spark, tmp_path):
     vector must take the TABLE's dimension, not an assumed 64."""
     import os
 
-    from otel_kafka_pg_spark.queries import REGISTRY, _query_vec
+    from otel_kafka_pg_spark.queries import EXTRA_REGISTRY, REGISTRY, _query_vec
 
     rows = [(0, None, "a"), (1, [1.0] * 8, "b"), (2, [0.5] * 8, "c")]
     spark.createDataFrame(
@@ -93,5 +93,5 @@ def test_query_vec_null_vec0_falls_back_with_table_dim(spark, tmp_path):
     ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
     v = _query_vec(spark, str(tmp_path))
     assert len(v) == 8 and v[0] == 1.0 and sum(v) == 1.0
-    fn, _ = REGISTRY["e1_cosine_topk"]
+    fn, _ = {**REGISTRY, **EXTRA_REGISTRY}["e1_cosine_topk"]
     assert fn(spark, str(tmp_path)).count() == 2  # both non-null vectors ranked
