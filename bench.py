@@ -92,6 +92,8 @@ HEADLINE = [
     "tx1_text_normalize",
     "az1_spike_hours",
     "gr2_transition_matrix",
+    "fe1_rfm_features",
+    "cal1_calendar_profile",
     "ab1_arm_conversion",
     "sv1_conversion_time_percentiles",
     "sk1_hot_keys",

@@ -347,3 +347,53 @@ def conversion_time_percentiles(
         ).alias("pct"),
         F.col("delta_s").alias("seconds"),
     )
+
+
+def rfm_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user RFM feature vector (recency / frequency / monetary) — the
+    classic churn-model feature build. One keyed aggregation; the corpus
+    anchor date is the table's max ts, re-aggregated from the per-user
+    frame and broadcast (one row — never a second fact scan). Monetary is
+    summed in integer CENTS (round(value*100)): double summation is
+    order-sensitive across engines, integer summation is exact."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_user = events.groupBy(user_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )
+    anchor = per_user.agg(F.max("last_ts").alias("_anchor"))
+    return (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            user_col,
+            F.datediff(F.to_date("_anchor"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+
+def calendar_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday × hour activity grid (the calendar-heatmap feed, and the
+    seasonality profile batch schedulers consult). ISO weekday (1=Monday
+    .. 7=Sunday) — the one day-numbering both engines can derive exactly
+    (Spark weekday()+1 == DuckDB isodow). Single keyed aggregation over a
+    7x24 key space."""
+    return (
+        events.groupBy(
+            (F.weekday(F.col(ts_col)) + F.lit(1)).cast("long").alias("isodow"),
+            F.hour(F.col(ts_col)).cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -1983,6 +1983,41 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "fe1_rfm_features",
+    # churn-model feature build (operators/behavior.py:rfm_features):
+    # recency anchored at the table max ts (re-aggregated + broadcast,
+    # never a second fact scan); monetary in integer cents so the sum is
+    # order-insensitive and exact in both engines.
+    "WITH pu AS (SELECT user_id, max(ts) AS last_ts, "
+    "CAST(count(*) AS BIGINT) AS frequency, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT max(last_ts) AS anchor FROM pu) "
+    "SELECT user_id, CAST(date_diff('day', CAST(last_ts AS DATE), "
+    "CAST(anchor AS DATE)) AS BIGINT) AS recency_days, frequency, monetary_cents "
+    "FROM pu, a",
+)
+def fe1_rfm_features(spark, sf_dir):
+    from .operators.behavior import rfm_features
+
+    return rfm_features(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "cal1_calendar_profile",
+    # weekday x hour activity grid (operators/behavior.py:
+    # calendar_profile): ISO weekday == Spark weekday()+1 == DuckDB isodow.
+    "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+    "CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2",
+)
+def cal1_calendar_profile(spark, sf_dir):
+    from .operators.behavior import calendar_profile
+
+    return calendar_profile(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
     "ab1_arm_conversion",
     # experiment readout (operators/behavior.py:ab_arm_conversion):
     # portable md5_60bit hash-mod arm assignment (the sp1 discipline),

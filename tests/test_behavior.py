@@ -214,3 +214,30 @@ def test_ab_arm_intent_to_treat(spark):
     # determinism: arms are a pure function of user_id
     again = ab_arm_conversion(_ev(spark, rows)).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_rfm_anchor_and_integer_cents(spark):
+    from otel_kafka_pg_spark.operators.behavior import rfm_features
+
+    rows = [
+        (1, T0, 1, "view", 1.25),
+        (2, T0 + dt.timedelta(days=3), 1, "view", 2.50),   # user 1 last seen day 3
+        (3, T0 + dt.timedelta(days=10), 2, "view", 0.10),  # anchor = day 10
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in rfm_features(ev).collect()}
+    assert out[1]["recency_days"] == 7 and out[1]["frequency"] == 2
+    assert out[1]["monetary_cents"] == 375  # 125 + 250, exact integers
+    assert out[2]["recency_days"] == 0 and out[2]["monetary_cents"] == 10
+
+
+def test_calendar_profile_iso_weekday(spark):
+    from otel_kafka_pg_spark.operators.behavior import calendar_profile
+
+    # 2024-01-01 is a MONDAY: isodow must be 1
+    rows = [(1, dt.datetime(2024, 1, 1, 13, 5), 1, "view"),
+            (2, dt.datetime(2024, 1, 7, 23, 59), 1, "view")]  # Sunday -> 7
+    out = {(r["isodow"], r["hour"]): r["n"] for r in calendar_profile(_ev(spark, rows)).collect()}
+    assert out == {(1, 13): 1, (7, 23): 1}
