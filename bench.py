@@ -91,6 +91,7 @@ HEADLINE = [
     "dd8_incremental_dedup",
     "tx1_text_normalize",
     "az1_spike_hours",
+    "st7_streaming_spike_alerts",
     "gr2_transition_matrix",
     "fe1_rfm_features",
     "cal1_calendar_profile",

@@ -345,11 +345,26 @@ def spike_hours(
     A constant history (zero variance) makes any increase a spike — the
     deterministic convention alerting systems use for flatlines.
     """
-    from pyspark.sql import Window
-
     hourly = events.groupBy(
         type_col, F.date_trunc("hour", F.col(ts_col)).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return spike_score(hourly, window_hours, z_thresh, min_history, type_col)
+
+
+def spike_score(
+    hourly: DataFrame,
+    window_hours: int = 6,
+    z_thresh: int = 3,
+    min_history: int = 3,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The z-test half of ``spike_hours``, over an already-bucketed
+    (type, hour, cnt) frame — shared by the batch path and the streaming
+    path (streaming/stream_pipeline.py:streaming_hourly_type_counts
+    produces the same buckets from a stream; the score stage is batch
+    post-processing of the micro-batched snapshot)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(type_col).orderBy("hour").rowsBetween(-window_hours, -1)
     n = F.count(F.lit(1)).over(w)
     s1 = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")

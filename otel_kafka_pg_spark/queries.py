@@ -2211,12 +2211,12 @@ def cd1_approx_distinct(spark, sf_dir):
     )
 
 
-@register(
-    "az1_spike_hours",
-    # integer-exact z-score alerting (operators/aggregate.py:spike_hours):
-    # spike <=> n>=3 AND n*x > s1 AND (n*x-s1)^2 > 9*(n*s2-s1^2) over the
-    # 6 previous observed hourly buckets — population variance kept in
-    # BIGINT, so the flag matches bit-for-bit across engines.
+# integer-exact z-score alerting: spike <=> n>=3 AND n*x > s1 AND
+# (n*x-s1)^2 > 9*(n*s2-s1^2) over the 6 previous observed hourly buckets —
+# population variance kept in BIGINT, so the flag matches bit-for-bit
+# across engines. Shared verbatim by az1 (batch) and st7 (streaming
+# buckets + the same spike_score stage).
+_AZ1_SQL = (
     "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
     "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
     "s AS (SELECT event_type, hour, cnt, "
@@ -2229,12 +2229,45 @@ def cd1_approx_distinct(spark, sf_dir):
     "CAST(CASE WHEN n_hist >= 3 AND n_hist * cnt > hist_sum "
     "AND (n_hist * cnt - hist_sum) * (n_hist * cnt - hist_sum) > "
     "9 * (n_hist * sumsq - hist_sum * hist_sum) THEN 1 ELSE 0 END AS BIGINT) AS spike "
-    "FROM s",
+    "FROM s"
 )
+
+
+@register("az1_spike_hours", _AZ1_SQL)
 def az1_spike_hours(spark, sf_dir):
+    # see _AZ1_SQL comment (operators/aggregate.py:spike_hours)
     from .operators.aggregate import spike_hours
 
     return spike_hours(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "st7_streaming_spike_alerts",
+    # the SAME oracle as az1: epoch-anchored 1-hour streaming windows are
+    # byte-identical to the batch date_trunc buckets, and the z-test stage
+    # (operators/aggregate.py:spike_score) is shared code — so the
+    # micro-batched path must reproduce the batch answer exactly.
+    _AZ1_SQL,
+)
+def st7_streaming_spike_alerts(spark, sf_dir):
+    import tempfile
+
+    from .operators.aggregate import spike_score
+    from .streaming.stream_pipeline import streaming_hourly_type_counts
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="st7_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    q = (
+        streaming_hourly_type_counts(spark, src, ev.schema, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("st7_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spike_score(spark.sql("SELECT event_type, hour, cnt FROM st7_hourly"))
 
 
 @register(

@@ -390,3 +390,32 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_hourly_type_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    watermark: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming half of the spike-alerting pair: tumbling 1-hour
+    event-time windows keyed by event_type — byte-identical buckets to
+    the batch ``date_trunc('hour', ts)`` aggregation (epoch-anchored
+    windows), so ``operators.aggregate.spike_score`` applied to a
+    complete-mode snapshot equals the batch ``spike_hours`` exactly
+    (oracled as st7). Pass ``watermark`` for the production update-mode
+    deployment (state evicted as event time passes; late rows dropped);
+    the verification entry runs complete mode, where the snapshot is the
+    full history regardless."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    return (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("w.start").alias("hour"), "event_type", "cnt")
+    )
