@@ -362,13 +362,24 @@ def spike_score(
     (type, hour, cnt) frame — shared by the batch path and the streaming
     path (streaming/stream_pipeline.py:streaming_hourly_type_counts
     produces the same buckets from a stream; the score stage is batch
-    post-processing of the micro-batched snapshot)."""
+    post-processing of the micro-batched snapshot).
+
+    Every product runs in decimal(38,0) — exact integer arithmetic like
+    the BIGINT form, but with the headroom the squares need: at a
+    plausible 5·10⁸ events/hour/type, cnt² ≈ 2.6·10¹⁷ and n·Σcnt² ≈ 10¹⁹
+    overflow a 64-bit long (ANSI mode would kill the job); they sit
+    comfortably inside 38 digits (bound: counts whose squares stay under
+    10³⁸, i.e. cnt < 10¹⁹ — beyond any physical event rate). The DuckDB
+    oracle mirrors with HUGEINT (int128). Flags remain bit-exact."""
     from pyspark.sql import Window
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
 
     w = Window.partitionBy(type_col).orderBy("hour").rowsBetween(-window_hours, -1)
     n = F.count(F.lit(1)).over(w)
     s1 = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
-    s2 = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0)).cast("long")
+    s2 = F.coalesce(F.sum(dec(F.col("cnt")) * F.col("cnt")).over(w), F.lit(0)).cast("decimal(38,0)")
     scored = hourly.select(
         type_col,
         "hour",
@@ -377,8 +388,8 @@ def spike_score(
         s1.alias("hist_sum"),
         s2.alias("_sumsq"),
     )
-    dev = F.col("n_hist") * F.col("cnt") - F.col("hist_sum")
-    var_n2 = F.col("n_hist") * F.col("_sumsq") - F.col("hist_sum") * F.col("hist_sum")
+    dev = dec(F.col("n_hist")) * F.col("cnt") - F.col("hist_sum")
+    var_n2 = dec(F.col("n_hist")) * F.col("_sumsq") - dec(F.col("hist_sum")) * F.col("hist_sum")
     spike = (
         (F.col("n_hist") >= min_history)
         & (dev > 0)

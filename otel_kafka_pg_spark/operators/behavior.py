@@ -72,20 +72,35 @@ def funnel_conversion(
     per_user = df.groupBy(user_col).agg(*[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))])
     totals = per_user.agg(
         *[
-            F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)).cast("long").alias(f"_u{i}")
+            # coalesce: an EMPTY events frame must yield 0, not NULL, to
+            # agree with the oracle's count(*) (empty inputs are routine)
+            F.coalesce(F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_u{i}")
             for i in range(len(steps))
         ]
     )
-    tuples = ", ".join(f"{i + 1}, '{s}', _u{i}" for i, s in enumerate(steps))
-    stacked = totals.select(
-        F.expr(f"stack({len(steps)}, {tuples}) AS (step_idx, step, users)"),
-        F.col("_u0").alias("_base"),
+    # build the per-step rows with typed literals (NOT an interpolated
+    # stack() SQL string — a step name containing a quote must not parse
+    # or inject into the expression)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"_u{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
+    stacked = totals.select(F.explode(rows).alias("r"), F.col("_u0").alias("_base"))
     return stacked.select(
-        "step_idx",
-        "step",
-        "users",
-        (F.col("users").cast("double") / F.col("_base")).alias("conversion"),
+        "r.step_idx",
+        "r.step",
+        "r.users",
+        # try_divide: a corpus slice with zero step-1 users yields NULL
+        # (the oracle's 0/0 result), never an ANSI DIVIDE_BY_ZERO crash
+        F.try_divide(F.col("r.users").cast("double"), F.col("_base")).alias("conversion"),
     )
 
 
@@ -289,7 +304,9 @@ def ab_arm_conversion(
             # converted counts only users who ALSO entered (intent-to-treat)
             F.sum(F.col("_entered") * F.col("_converted")).cast("long").alias("converted"),
         )
-        .withColumn("conversion", F.col("converted").cast("double") / F.col("entered"))
+        # try_divide: an arm with zero entered users reads NULL (the
+        # oracle's x/0 result), never an ANSI DIVIDE_BY_ZERO crash
+        .withColumn("conversion", F.try_divide(F.col("converted").cast("double"), F.col("entered")))
     )
 
 

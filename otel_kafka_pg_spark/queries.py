@@ -2217,18 +2217,22 @@ def cd1_approx_distinct(spark, sf_dir):
 # across engines. Shared verbatim by az1 (batch) and st7 (streaming
 # buckets + the same spike_score stage).
 _AZ1_SQL = (
+    # products in HUGEINT (int128), mirroring the Spark side's
+    # decimal(38,0): the squares overflow 64-bit at realistic hourly
+    # counts (~5e8/hour/type), and an exact-integer z-test must not.
     "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
     "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
     "s AS (SELECT event_type, hour, cnt, "
     "CAST(count(*) OVER w AS BIGINT) AS n_hist, "
     "CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS hist_sum, "
-    "CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS sumsq "
+    "CAST(coalesce(sum(CAST(cnt AS HUGEINT) * cnt) OVER w, 0) AS HUGEINT) AS sumsq "
     "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour "
     "ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)) "
     "SELECT event_type, hour, cnt, n_hist, hist_sum, "
-    "CAST(CASE WHEN n_hist >= 3 AND n_hist * cnt > hist_sum "
-    "AND (n_hist * cnt - hist_sum) * (n_hist * cnt - hist_sum) > "
-    "9 * (n_hist * sumsq - hist_sum * hist_sum) THEN 1 ELSE 0 END AS BIGINT) AS spike "
+    "CAST(CASE WHEN n_hist >= 3 AND CAST(n_hist AS HUGEINT) * cnt > hist_sum "
+    "AND (CAST(n_hist AS HUGEINT) * cnt - hist_sum) * (CAST(n_hist AS HUGEINT) * cnt - hist_sum) > "
+    "9 * (CAST(n_hist AS HUGEINT) * sumsq - CAST(hist_sum AS HUGEINT) * hist_sum) "
+    "THEN 1 ELSE 0 END AS BIGINT) AS spike "
     "FROM s"
 )
 
@@ -2250,6 +2254,7 @@ def az1_spike_hours(spark, sf_dir):
     _AZ1_SQL,
 )
 def st7_streaming_spike_alerts(spark, sf_dir):
+    import shutil
     import tempfile
 
     from .operators.aggregate import spike_score
@@ -2257,16 +2262,22 @@ def st7_streaming_spike_alerts(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="st7_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    q = (
-        streaming_hourly_type_counts(spark, src, ev.schema, max_files_per_trigger=1)
-        .writeStream.format("memory")
-        .queryName("st7_hourly")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        q = (
+            streaming_hourly_type_counts(spark, src, ev.schema, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName("st7_hourly")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the drained snapshot; the temp source copy
+        # of events is dead weight after awaitTermination (bench invokes
+        # this repeatedly — without cleanup each run leaks a full copy)
+        shutil.rmtree(src, ignore_errors=True)
     return spike_score(spark.sql("SELECT event_type, hour, cnt FROM st7_hourly"))
 
 

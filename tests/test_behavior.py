@@ -109,11 +109,14 @@ def test_approx_distinct_error_bound(spark):
     """cd1's quality contract (rows-only at the driver): HLL++ at rsd=0.02
     stays within 5% relative error of the exact distinct count per group
     on the sf0.01 events table."""
+    import os
+
     from otel_kafka_pg_spark.queries import EXTRA_REGISTRY
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
     fn, sql = EXTRA_REGISTRY["cd1_approx_distinct"]
     assert sql is None  # rows-only by design, never silently "oracled"
-    for r in fn(spark, "/root/testdata/sf0.01").collect():
+    for r in fn(spark, sf_dir).collect():
         assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
 
 
@@ -241,3 +244,65 @@ def test_calendar_profile_iso_weekday(spark):
             (2, dt.datetime(2024, 1, 7, 23, 59), 1, "view")]  # Sunday -> 7
     out = {(r["isodow"], r["hour"]): r["n"] for r in calendar_profile(_ev(spark, rows)).collect()}
     assert out == {(1, 13): 1, (7, 23): 1}
+
+
+def test_funnel_zero_base_yields_null_not_crash(spark):
+    """ANSI regression (review finding): a slice with users but NO step-1
+    events must produce users=0 rows with NULL conversion — the oracle's
+    0/0 result — not a DIVIDE_BY_ZERO crash."""
+    from otel_kafka_pg_spark.operators.behavior import funnel_conversion
+
+    rows = [(1, T0, 1, "click"), (2, T0, 2, "view")]
+    out = {r["step"]: r for r in funnel_conversion(_ev(spark, rows), ["signup", "click", "purchase"]).collect()}
+    assert all(out[s]["users"] == 0 for s in ("signup", "click", "purchase"))
+    assert all(out[s]["conversion"] is None for s in ("signup", "click", "purchase"))
+
+
+def test_funnel_quoted_step_name(spark):
+    """Review finding: step names are data-domain strings — one containing
+    a quote must not break (or inject into) the plan."""
+    from otel_kafka_pg_spark.operators.behavior import funnel_conversion
+
+    rows = [(1, T0, 1, "add'l_step")]
+    out = funnel_conversion(_ev(spark, rows), ["add'l_step"]).collect()
+    assert len(out) == 1 and out[0]["step"] == "add'l_step" and out[0]["users"] == 1
+
+
+def test_ab_arm_zero_entered_yields_null(spark):
+    """ANSI regression: an arm with zero entered users reads conversion
+    NULL, never DIVIDE_BY_ZERO. user_ids chosen so the md5 arms differ."""
+    from otel_kafka_pg_spark.operators.behavior import ab_arm_conversion
+
+    # find two user ids hashing to different arms, one arm signup-free
+    rows = [(1, T0, 1, "signup"), (2, T0, 1, "purchase")] + [
+        (10 + u, T0, u, "purchase") for u in range(2, 12)
+    ]
+    out = ab_arm_conversion(_ev(spark, rows)).collect()
+    assert len(out) >= 1
+    for r in out:
+        if r["entered"] == 0:
+            assert r["conversion"] is None and r["converted"] == 0
+
+
+def test_spike_score_no_overflow_at_web_scale_counts(spark):
+    """ANSI regression (review finding): hourly counts ~5e8 made the
+    BIGINT z-test squares overflow; the decimal(38,0) form must score
+    them exactly. History 5e8 ±2e6 (mean 5e8, sigma 2e6): 5.07e8 is
+    z=3.5 -> spike; 5.006e8 is z=3 exactly -> strict, no spike."""
+    from otel_kafka_pg_spark.operators.aggregate import spike_score
+
+    base, amp = 500_000_000, 2_000_000
+    hist = [base - amp, base + amp, base - amp, base + amp, base - amp, base + amp]
+    rows = [("error", T0 + dt.timedelta(hours=h), c) for h, c in enumerate(hist)]
+    rows.append(("error", T0 + dt.timedelta(hours=6), base + 7 * 10**6))   # z=3.5
+    rows.append(("view", T0, 10**18))  # single giant bucket: no history, no flag
+    hourly = spark.createDataFrame(rows, "event_type string, hour timestamp_ntz, cnt long")
+    out = {(r["event_type"], r["hour"].hour): r["spike"] for r in spike_score(hourly).collect()}
+    assert out[("error", 6)] == 1
+    assert out[("view", 0)] == 0
+    # boundary at exactly z=3: (n*x-s1)^2 == 9*(n*s2-s1^2) -> strict, cold
+    rows2 = [("a", T0 + dt.timedelta(hours=h), c) for h, c in enumerate(hist)]
+    rows2.append(("a", T0 + dt.timedelta(hours=6), base + 6 * 10**6))  # z=3.0
+    hourly2 = spark.createDataFrame(rows2, "event_type string, hour timestamp_ntz, cnt long")
+    out2 = {r["hour"].hour: r["spike"] for r in spike_score(hourly2).collect()}
+    assert out2[6] == 0
