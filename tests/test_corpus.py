@@ -531,3 +531,26 @@ def test_incremental_dedup_semantics(spark):
     got = incremental_dedup(batch, hist).collect()
     assert [r["doc_id"] for r in got] == [11]
     assert set(got[0].asDict()) == {"doc_id", "fp"}
+
+
+def test_length_decile_buckets_right_closed_and_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from otel_kafka_pg_spark.operators.corpus import length_decile_buckets
+
+    # 100 docs with lengths 1..100: cut points are exactly 10,20,...,90;
+    # length 10 sits AT the first cut -> bucket 1 (right-closed), 11 -> 1,
+    # wait: bucket = #cuts <= v, so v=10 -> 1, v=9 -> 0, v=100 -> 9
+    docs = spark.range(1, 101).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("int").alias("n_chars")
+    )
+    out = {r["n_chars"]: r["bucket"] for r in length_decile_buckets(docs).collect()}
+    assert out[9] == 0 and out[10] == 1 and out[11] == 1
+    assert out[90] == 9 and out[100] == 9 and out[1] == 0
+    # right-closed at the cut: bucket 0 = values 1..9 (9 docs), buckets
+    # 1-8 hold 10 each (cut..cut+9), bucket 9 = 90..100 (11 docs)
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert sizes[0] == 9 and sizes[9] == 11
+    assert all(sizes[b] == 10 for b in range(1, 9))
