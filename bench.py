@@ -93,6 +93,7 @@ HEADLINE = [
     "az1_spike_hours",
     "st7_streaming_spike_alerts",
     "gr2_transition_matrix",
+    "pm1_pmi_collocations",
     "qb1_length_decile_buckets",
     "fe1_rfm_features",
     "cal1_calendar_profile",

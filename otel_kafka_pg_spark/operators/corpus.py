@@ -852,3 +852,74 @@ def length_decile_buckets(docs, n_buckets: int = 10, len_col: str = "n_chars"):
         len_col,
         F.size(F.filter("cuts", lambda c: c <= F.col(len_col))).cast("long").alias("bucket"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining (the phrase-detection step of
+    word2vec-style preprocessing): top-k adjacent pairs by quantized PMI
+    ``floor(c12 * N * 1000 / (c1 * c2))`` with a min-count floor against
+    rare-pair noise. N is the total token count (re-aggregated from the
+    unigram table, never a second scan). Products run in decimal(38,0)
+    (oracle: HUGEINT) — at 10^12 tokens c1*c2 ~ 10^24 and c12*N*1000 ~
+    10^27 overflow BIGINT long before the math stops being exact; both
+    engines' integer division floors identically for positive operands.
+    Deterministic total order (pmi_q DESC, w1, w2), cut via TakeOrdered.
+
+    Shape: the same three partial-agg'd hash shuffles as bigram_surprisal
+    (bigram counts, unigram counts joined back by key), all fixed-width.
+    Bound: the QUOTIENT must fit BIGINT (Spark's decimal `div` returns
+    long and wraps past 2^63) — pmi_q <= 1000*N/min_count^2 * min_count,
+    i.e. safe through N ~ 10^16 tokens at min_count=5; raise min_count
+    before raising N past that.
+    """
+    toks = df.select(_tokens(text_col).alias("a")).filter(F.size("a") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("a") - F.lit(2)),
+                lambda i: F.struct(
+                    F.get(F.col("a"), i).alias("w1"),
+                    F.get(F.col("a"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            # `div` = exact integral division on decimals — NOT floor(a/b):
+            # Spark decimal `/` rounds the quotient at the result scale
+            # BEFORE floor, which can disagree with the oracle's integer
+            # division when the true quotient sits within an ulp of an
+            # integer; `div` truncates exactly like DuckDB's `//`
+            F.expr(
+                "CAST((CAST(c12 AS DECIMAL(38,0)) * n_tokens * 1000) div "
+                "(CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2")).limit(k)

@@ -1983,6 +1983,34 @@ def lm1_bigram_surprisal(spark, sf_dir):
 
 
 @register_extra(
+    "pm1_pmi_collocations",
+    # collocation mining (operators/corpus.py:pmi_collocations): quantized
+    # PMI with HUGEINT products mirroring Spark's decimal(38,0); `//` ==
+    # Spark's `div` (exact truncating integral division — NOT floor(a/b),
+    # whose pre-floor rounding can disagree near integers).
+    "WITH t AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x != '') AS a FROM documents), "
+    "bg AS (SELECT unnest([struct_pack(w1 := a[i], w2 := a[i+1]) "
+    "for i in generate_series(1, len(a)-1)]) AS s FROM t WHERE len(a) >= 2), "
+    "pairs AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bg), "
+    "uni AS (SELECT unnest(a) AS w FROM t), "
+    "cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM cu), "
+    "cp AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs "
+    "GROUP BY w1, w2 HAVING count(*) >= 5) "
+    "SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2, "
+    "CAST((CAST(p.c12 AS HUGEINT) * t.n_tokens * 1000) // "
+    "(CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_q "
+    "FROM cp p JOIN cu u1 ON p.w1 = u1.w JOIN cu u2 ON p.w2 = u2.w, tot t "
+    "ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT 50",
+)
+def pm1_pmi_collocations(spark, sf_dir):
+    from .operators.corpus import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=50, min_count=5)
+
+
+@register_extra(
     "qb1_length_decile_buckets",
     # curriculum length-bucketing (operators/corpus.py:
     # length_decile_buckets): discrete rank-picked cut points (the sv1

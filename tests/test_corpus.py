@@ -554,3 +554,21 @@ def test_length_decile_buckets_right_closed_and_balanced(spark):
     sizes = Counter(out.values())
     assert sizes[0] == 9 and sizes[9] == 11
     assert all(sizes[b] == 10 for b in range(1, 9))
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    from pyspark.sql import functions as F
+
+    from otel_kafka_pg_spark.operators.corpus import pmi_collocations
+
+    # "hong kong" always co-occurs (perfect collocation); "the cat" has
+    # promiscuous parts ("the" pairs with everything) -> far lower PMI
+    rows = [(i, "hong kong visit " + "the " + w + " sat") for i, w in enumerate(["cat", "dog", "fox", "owl", "elk"])]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["w1"], r["w2"]): r["pmi_q"] for r in pmi_collocations(docs, k=50, min_count=5).collect()}
+    # c(hong)=c(kong)=c12=5, N=30: pmi = 5*30*1000 // 25 = 6000
+    assert out[("hong", "kong")] == 6000
+    # "the X" pairs have c12<5 each except none; "visit the" has c12=5,
+    # c(visit)=5, c(the)=5 -> also 6000; "kong visit" same. The planted
+    # ordering claim: every surviving pair is a true always-together pair.
+    assert all(v == 6000 for v in out.values())
