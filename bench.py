@@ -4,10 +4,15 @@
 Default mode: run the headline query set (a representative slice of the
 SURVEY.md §2 registry) plus the flagship transcript pipeline at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``, write the FULL result (per-query wall times +
+stall detail) to ``BENCH/last_full_bench.json``, and print ONE COMPACT JSON
+line (< 2 KB — the grading driver's stdout capture truncates long lines;
+see compact_line())::
 
     {"metric": "total_bench_sec", "value": N, "unit": "sec",
-     "queries": {...}, "sf": 0.1, "pipeline": {"turns": N, "turns_per_sec": N}}
+     "queries": {"pipeline": N, ...}, "sf": 0.1, "n_queries": N,
+     "queries_total_sec": N, "pipeline_turns_per_sec": N,
+     "probe_baseline_sec": N, "worst_stall_factor": N, "detail_file": "..."}
 
 ``--scaling`` mode: run ONLY the pipeline at two parallelism levels
 (local[1] vs local[4] by default — N and 4N cores) in subprocesses (clean
@@ -132,6 +137,10 @@ HEADLINE = [
     "e3x_ivf_ann_reduced_probe",
     "e2y_lsh_ann_recall_gate",
     "e3y_ivf_ann_recall_gate",
+    # round-5 quality gates: gx3 is cheap (one events agg); gx1/gx2 are
+    # skipped here because each re-runs BOTH of its twins (dd4+dd4x,
+    # dd7+dd7x), which the headline already times individually
+    "gx3_hll_error_gate",
 ]
 
 
@@ -416,6 +425,46 @@ def main_scaling(sf_dir: str, low: int, high: int, turns: int) -> dict:
     }
 
 
+def compact_line(result: dict, detail_file: str) -> dict:
+    """Shrink the full-mode result to a grader-parseable final line.
+
+    Round-4 lesson (ADVICE item 1): the 81-query single-line JSON outgrew
+    the grading driver's stdout capture window (~2000 chars), so the round's
+    artifact of record was machine-unreadable (`parsed: null`). The final
+    stdout line now carries only the totals, the pipeline numbers, the probe
+    baseline, and the worst per-query stall factor; the FULL result —
+    per-query wall times and the complete stall-detail map — goes to
+    ``detail_file`` (committed under BENCH/), which the judge reads directly.
+    """
+    stall = result.get("stall", {})
+    worst_name, worst = "", 0.0
+    for name, d in stall.items():
+        f = d.get("stall_factor") or 0.0
+        if f > worst:
+            worst_name, worst = name, f
+    queries = result.get("queries", {})
+    qtimes = {k: v for k, v in queries.items() if not k.startswith("pipeline")}
+    slowest = dict(sorted(qtimes.items(), key=lambda kv: -kv[1])[:3])
+    pipe = result.get("pipeline", {})
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        # the pipeline numbers inline; the full per-query map is in detail_file
+        "queries": {k: v for k, v in queries.items() if k.startswith("pipeline")},
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "n_queries": len(qtimes),
+        "queries_total_sec": round(sum(qtimes.values()), 3),
+        "slowest": {k: round(v, 3) for k, v in slowest.items()},
+        "pipeline_turns_per_sec": pipe.get("turns_per_sec"),
+        "probe_baseline_sec": result.get("probe_baseline_sec"),
+        "worst_stall_factor": round(worst, 3),
+        "worst_stall_query": worst_name,
+        "detail_file": detail_file,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=CPUS)
@@ -429,9 +478,28 @@ if __name__ == "__main__":
     ap.add_argument("--scaling-turns", type=int, default=2_400_000)
     ap.add_argument("--salt-buckets", type=int, default=0,
                     help="pre-parse salted repartition buckets (0 = off, the default plan)")
+    ap.add_argument("--detail-file", default=None,
+                    help="where the FULL per-query result JSON is written in headline mode "
+                         "(default BENCH/last_full_bench.json next to this script)")
+    ap.add_argument("--full-line", action="store_true",
+                    help="print the full result on stdout instead of the compact line")
     args = ap.parse_args()
     if args.scaling:
         result = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scaling_turns)
+        print(json.dumps(result))
+    elif args.pipeline_only:
+        # small payload (and main_scaling parses it from stdout) — unchanged
+        result = main_bench(args.cpus, args.sf_dir, True, args.turns, args.salt_buckets, args.runs)
+        print(json.dumps(result))
     else:
-        result = main_bench(args.cpus, args.sf_dir, args.pipeline_only, args.turns, args.salt_buckets, args.runs)
-    print(json.dumps(result))
+        result = main_bench(args.cpus, args.sf_dir, False, args.turns, args.salt_buckets, args.runs)
+        detail_file = args.detail_file or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_full_bench.json"
+        )
+        os.makedirs(os.path.dirname(detail_file), exist_ok=True)
+        with open(detail_file, "w") as f:
+            json.dump(result, f, indent=1)
+        if args.full_line:
+            print(json.dumps(result))
+        else:
+            print(json.dumps(compact_line(result, os.path.relpath(detail_file, os.getcwd()))))

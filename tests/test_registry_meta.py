@@ -39,16 +39,22 @@ def test_registry_covers_every_survey_category():
     # coverage regression the judge would catch line-by-line. Driver-window
     # families first; cd/sc/u-style extras keep their prefix in the
     # combined registry.
-    driver_prefixes = ["f", "a", "j", "dd", "t", "e", "p", "st", "mm", "dp", "c", "aj", "u", "rd", "cc", "v", "ct", "sm", "rw", "pv", "sc"]
+    # round-5 window families: the never-driver-checked cohort + the kept
+    # flagship/streaming/sink/graph/gate incumbents (see the ROUND-5
+    # ROTATION block in queries.py)
+    driver_prefixes = ["p", "st", "u", "rd", "cc", "dd", "dp", "e", "eq", "zo",
+                       "mv", "w", "t", "sp", "h", "pm", "qb", "fe", "cal", "ab",
+                       "sv", "sk", "dq", "mb", "eg", "tx", "rt", "sm", "ds", "gx"]
     names = list(REGISTRY)
     for p in driver_prefixes:
         assert any(n.startswith(p) and not n[len(p)].isalpha() for n in names if len(n) > len(p)), p
-    # families whose every entry is driver-green from r1–r3 rotated wholly
-    # to extras in round 4 (o/s/w/q/r, and late-r4 tpch — its slot went to
-    # dp5) — still §2-covered in the combined registry, still locally
-    # oracled by test_oracle_differential
+    # families whose every entry already has a driver-green row in r1–r4
+    # rotated wholly to extras (the round-5 rotation converts the last 33
+    # never-checked entries instead) — still §2-covered in the combined
+    # registry, still locally oracled by test_oracle_differential
     combined = list(all_queries())
-    for p in ["cd", "ax", "o", "s", "w", "q", "r", "tpch"]:
+    for p in ["f", "a", "j", "mm", "c", "v", "ct", "rw", "pv", "sc",
+              "cd", "ax", "o", "s", "q", "r", "tpch"]:
         assert any(n.startswith(p) and not n[len(p)].isalpha() for n in combined if len(n) > len(p)), p
 
 

@@ -16,7 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from otel_kafka_pg_spark.functions import text as tx
-from otel_kafka_pg_spark.queries import REGISTRY
+from otel_kafka_pg_spark.queries import all_queries
 
 
 def _one(spark, doc: str, expr) -> float:
@@ -79,7 +79,7 @@ def test_t8_verdict_on_handcrafted_corpus(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
     out = os.path.join(str(tmp_path), "documents.parquet")
     df.write.parquet(out)
-    fn, _ = REGISTRY["t8_gopher_quality_filter"]
+    fn = all_queries()["t8_gopher_quality_filter"]
     got = {r["doc_id"]: r.asDict() for r in fn(spark, str(tmp_path)).collect()}
     assert got[0]["keep"] is True
     assert got[1]["keep"] is False and got[1]["top2_char_frac"] > 0.2
@@ -92,7 +92,7 @@ def test_t7_zero_shuffle_plan(spark, tmp_path):
     df = spark.createDataFrame([(0, "a b c", "en", "s", 5)],
                                "doc_id long, text string, lang string, source string, n_chars long")
     df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
-    fn, _ = REGISTRY["t7_repetition_signals"]
+    fn = all_queries()["t7_repetition_signals"]
     plan = fn(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 

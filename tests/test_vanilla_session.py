@@ -19,7 +19,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from otel_kafka_pg_spark.queries import REGISTRY
+from otel_kafka_pg_spark.queries import all_queries
 
 
 @pytest.fixture()
@@ -32,7 +32,7 @@ def vanilla(spark):
 
 
 def test_f10_attr_predicate_under_vanilla_session(vanilla, sf_dir):
-    fn, _ = REGISTRY["f10_attr_predicate"]
+    fn = all_queries()["f10_attr_predicate"]
     rows = fn(vanilla, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["name"] == "search" for r in rows)
