@@ -3351,21 +3351,29 @@ def mm2_frame_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # dd4 (md5, exactly oracled) vs dd4x (xxhash64 production path): the two
-# hash families legitimately disagree on BORDERLINE pairs (different
-# fingerprints → different Hamming distances near the threshold; measured
-# at sf0.01: 814 vs 964 pairs), so the contract is recall on STRONG pairs:
-# every pair either variant scores at Hamming <= 1 must be detected by the
-# other variant at the working threshold (<= 8). A broken twin (wrong bit
-# votes, wrong block derivation, wrong token hash width) fails this
-# immediately; correct-but-different hashing passes.
+# hash families legitimately disagree near the threshold (different
+# fingerprints → different Hamming distances; measured at sf0.01: 814 vs
+# 964 pairs), INCLUDING on strong pairs — a pair at md5-Hamming <= 1 can
+# land past the xx working threshold (<= 8). Measured cross-family miss on
+# strong pairs: 0/6 at sf0.01 (small-sample zero), 5/98 and 4/102 (~5%) at
+# sf0.1 — so "missed == 0" is not a scale-robust contract (the sf0.1
+# rehearsal, BENCH/rehearsal_r5_sf01.json, caught exactly that). The
+# contract is therefore MEASURED RECALL per the e2y/e3y convention:
+# each family must re-detect >= 90% of the other's strong pairs at the
+# working threshold. A broken twin (wrong bit votes, wrong block
+# derivation, wrong token hash width) misses essentially all of them and
+# fails immediately; correct-but-different hashing passes at any scale.
+# The pair count AND the strong-pair count stay oracle-pinned exactly.
 _DD4_SQL = EXTRA_REGISTRY["dd4_simhash_near_pairs"][1]
 
 
 @register(
     "gx1_simhash_twin_gate",
     "SELECT (SELECT CAST(count(*) AS BIGINT) FROM (" + _DD4_SQL + ")) AS md5_pairs, "
-    "CAST(0 AS BIGINT) AS md5_strong_missed_by_xx, "
-    "CAST(0 AS BIGINT) AS xx_strong_missed_by_md5",
+    "(SELECT CAST(count(*) AS BIGINT) FROM (" + _DD4_SQL + ") WHERE hamming <= 1)"
+    " AS md5_strong, "
+    "CAST(1 AS BIGINT) AS xx_recall_ok, "
+    "CAST(1 AS BIGINT) AS md5_recall_ok",
 )
 def gx1_simhash_twin_gate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -3373,20 +3381,24 @@ def gx1_simhash_twin_gate(spark, sf_dir):
     xxp = simhash_near_pairs(docs, max_hamming=8)  # xxhash64 production path
     md5_ids = md5p.select("id_a", "id_b")
     xx_ids = xxp.select("id_a", "id_b")
+    md5_strong = md5p.filter(F.col("hamming") <= 1).select("id_a", "id_b")
+    xx_strong = xxp.filter(F.col("hamming") <= 1).select("id_a", "id_b")
     n_md5 = md5_ids.agg(F.count(F.lit(1)).cast("long").alias("md5_pairs"))
-    ma = (
-        md5p.filter(F.col("hamming") <= 1)
-        .select("id_a", "id_b")
-        .join(xx_ids, ["id_a", "id_b"], "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("md5_strong_missed_by_xx"))
+    n_md5_strong = md5_strong.agg(F.count(F.lit(1)).cast("long").alias("md5_strong"))
+    n_xx_strong = xx_strong.agg(F.count(F.lit(1)).cast("long").alias("_xx_strong"))
+    ma = md5_strong.join(xx_ids, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("_miss_xx")
     )
-    mb = (
-        xxp.filter(F.col("hamming") <= 1)
-        .select("id_a", "id_b")
-        .join(md5_ids, ["id_a", "id_b"], "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("xx_strong_missed_by_md5"))
+    mb = xx_strong.join(md5_ids, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("_miss_md5")
     )
-    return n_md5.crossJoin(ma).crossJoin(mb)  # three 1-row aggregates
+    row = n_md5.crossJoin(n_md5_strong).crossJoin(ma).crossJoin(n_xx_strong).crossJoin(mb)
+    return row.select(  # five 1-row aggregates; integer 10x = recall >= 0.9
+        "md5_pairs",
+        "md5_strong",
+        (F.col("_miss_xx") * 10 <= F.col("md5_strong")).cast("long").alias("xx_recall_ok"),
+        (F.col("_miss_md5") * 10 <= F.col("_xx_strong")).cast("long").alias("md5_recall_ok"),
+    )
 
 
 # dd7 (md5 gram keys, exactly oracled) vs dd7x (xxhash64): the span-dup
