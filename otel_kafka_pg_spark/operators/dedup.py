@@ -644,3 +644,54 @@ def incremental_dedup(
     return survivors.join(
         seen_fingerprints.select("fp").distinct(), "fp", "left_anti"
     ).select(id_col, "fp")
+
+
+def twin_recall_gate(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    strong_hamming: int = 1,
+    min_recall_pct: int = 90,
+) -> DataFrame:
+    """Cross-family recall contract between two near-dup pair frames (the
+    gx1 driver gate; the e2y/e3y measured-quality convention applied to
+    hash twins). Input frames carry (id_a, id_b, hamming) from two hash
+    families over the SAME corpus (e.g. md5 simhash — the DuckDB-oracled
+    family — vs the xxhash64 production family).
+
+    Contract: each family must re-detect >= ``min_recall_pct``% of the
+    other's STRONG pairs (hamming <= ``strong_hamming``) at its own
+    working threshold. Zero-miss is deliberately NOT the contract: the
+    sf0.1 rehearsal (BENCH/rehearsal_r5_sf01.json) measured ~5% legitimate
+    cross-family divergence on strong pairs (5/98 and 4/102) — different
+    fingerprint projections disagree near any threshold — while a broken
+    twin (wrong bit votes, wrong block derivation, wrong token hash
+    width, misaligned ids) misses essentially all of them
+    (tests/test_gates.py plants exactly that and asserts the gate trips).
+
+    One row out: ``a_pairs`` and ``a_strong`` (exact counts, oracle-
+    pinnable when family A is the md5 one), ``b_recall_ok`` (B re-detects
+    A's strong pairs), ``a_recall_ok`` (symmetric) — booleans as BIGINT,
+    computed with pure integer arithmetic (missed*100 <= strong*(100-p)).
+    Five 1-row aggregates cross-joined; every join ships id pairs only.
+    """
+    a_ids = pairs_a.select("id_a", "id_b")
+    b_ids = pairs_b.select("id_a", "id_b")
+    a_strong = pairs_a.filter(F.col("hamming") <= strong_hamming).select("id_a", "id_b")
+    b_strong = pairs_b.filter(F.col("hamming") <= strong_hamming).select("id_a", "id_b")
+    n_a = a_ids.agg(F.count(F.lit(1)).cast("long").alias("a_pairs"))
+    n_as = a_strong.agg(F.count(F.lit(1)).cast("long").alias("a_strong"))
+    n_bs = b_strong.agg(F.count(F.lit(1)).cast("long").alias("_b_strong"))
+    miss_b = a_strong.join(b_ids, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("_miss_b")
+    )
+    miss_a = b_strong.join(a_ids, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("_miss_a")
+    )
+    gap = 100 - min_recall_pct
+    row = n_a.crossJoin(n_as).crossJoin(miss_b).crossJoin(n_bs).crossJoin(miss_a)
+    return row.select(
+        "a_pairs",
+        "a_strong",
+        (F.col("_miss_b") * 100 <= F.col("a_strong") * gap).cast("long").alias("b_recall_ok"),
+        (F.col("_miss_a") * 100 <= F.col("_b_strong") * gap).cast("long").alias("a_recall_ok"),
+    )

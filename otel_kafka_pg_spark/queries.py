@@ -3376,28 +3376,17 @@ _DD4_SQL = EXTRA_REGISTRY["dd4_simhash_near_pairs"][1]
     "CAST(1 AS BIGINT) AS md5_recall_ok",
 )
 def gx1_simhash_twin_gate(spark, sf_dir):
+    from .operators.dedup import twin_recall_gate
+
     docs = _t(spark, sf_dir, "documents")
     md5p = simhash_near_pairs(docs, max_hamming=8, variant="md5")
     xxp = simhash_near_pairs(docs, max_hamming=8)  # xxhash64 production path
-    md5_ids = md5p.select("id_a", "id_b")
-    xx_ids = xxp.select("id_a", "id_b")
-    md5_strong = md5p.filter(F.col("hamming") <= 1).select("id_a", "id_b")
-    xx_strong = xxp.filter(F.col("hamming") <= 1).select("id_a", "id_b")
-    n_md5 = md5_ids.agg(F.count(F.lit(1)).cast("long").alias("md5_pairs"))
-    n_md5_strong = md5_strong.agg(F.count(F.lit(1)).cast("long").alias("md5_strong"))
-    n_xx_strong = xx_strong.agg(F.count(F.lit(1)).cast("long").alias("_xx_strong"))
-    ma = md5_strong.join(xx_ids, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("_miss_xx")
-    )
-    mb = xx_strong.join(md5_ids, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("_miss_md5")
-    )
-    row = n_md5.crossJoin(n_md5_strong).crossJoin(ma).crossJoin(n_xx_strong).crossJoin(mb)
-    return row.select(  # five 1-row aggregates; integer 10x = recall >= 0.9
-        "md5_pairs",
-        "md5_strong",
-        (F.col("_miss_xx") * 10 <= F.col("md5_strong")).cast("long").alias("xx_recall_ok"),
-        (F.col("_miss_md5") * 10 <= F.col("_xx_strong")).cast("long").alias("md5_recall_ok"),
+    row = twin_recall_gate(md5p, xxp, strong_hamming=1, min_recall_pct=90)
+    return row.select(
+        F.col("a_pairs").alias("md5_pairs"),
+        F.col("a_strong").alias("md5_strong"),
+        F.col("b_recall_ok").alias("xx_recall_ok"),
+        F.col("a_recall_ok").alias("md5_recall_ok"),
     )
 
 
