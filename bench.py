@@ -496,7 +496,9 @@ if __name__ == "__main__":
         detail_file = args.detail_file or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_full_bench.json"
         )
-        os.makedirs(os.path.dirname(detail_file), exist_ok=True)
+        detail_dir = os.path.dirname(detail_file)
+        if detail_dir:  # bare filename → cwd; makedirs("") raises
+            os.makedirs(detail_dir, exist_ok=True)
         with open(detail_file, "w") as f:
             json.dump(result, f, indent=1)
         if args.full_line:

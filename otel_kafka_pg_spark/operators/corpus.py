@@ -854,11 +854,16 @@ def length_decile_buckets(
             .crossJoin(F.broadcast(n))
             .select("v", "n", F.row_number().over(Window.orderBy("v")).alias("rk"))
         )
+        # rank grid ceil(i*n/n_buckets) in pure integer arithmetic — the
+        # SAME quantile grid (i/n_buckets) the approx path requests, for
+        # EVERY n_buckets (an integer-percent grid only coincides when
+        # n_buckets divides 100); identical to the DuckDB oracle's
+        # ceil(q/100.0*n) at the default n_buckets=10
         cuts = (
             ranked.filter(
                 F.expr(
-                    f"exists(array({', '.join(str(i * 100 // n_buckets) for i in range(1, n_buckets))}), "
-                    "q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))"
+                    f"exists(array({', '.join(str(i) for i in range(1, n_buckets))}), "
+                    f"i -> rk = (i * n + {n_buckets - 1}) DIV {n_buckets})"
                 )
             )
             .agg(F.array_sort(F.collect_list("v")).alias("cuts"))

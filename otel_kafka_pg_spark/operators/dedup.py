@@ -673,7 +673,15 @@ def twin_recall_gate(
     A's strong pairs), ``a_recall_ok`` (symmetric) — booleans as BIGINT,
     computed with pure integer arithmetic (missed*100 <= strong*(100-p)).
     Five 1-row aggregates cross-joined; every join ships id pairs only.
+    Both pair frames are persisted first: each is referenced three times
+    in the one plan (count, strong count, anti-join side) and the differing
+    hamming filters defeat exchange reuse — without the persist the
+    expensive pair-generation lineage (token explode, bit votes, block
+    self-join) would execute up to 3x per family. The cached frames are
+    small (id, id, hamming per near-dup pair).
     """
+    pairs_a = pairs_a.select("id_a", "id_b", "hamming").persist()
+    pairs_b = pairs_b.select("id_a", "id_b", "hamming").persist()
     a_ids = pairs_a.select("id_a", "id_b")
     b_ids = pairs_b.select("id_a", "id_b")
     a_strong = pairs_a.filter(F.col("hamming") <= strong_hamming).select("id_a", "id_b")

@@ -714,7 +714,11 @@ def st6_stream_upsert(spark, sf_dir):
         # materialize BEFORE deleting the root (round-4 advice: the lazy
         # read kept the whole mkdtemp tree alive — bench runs this twice
         # per sweep and leaked a full latest-per-user table copy each run).
-        # The frame is bounded: one row per distinct user, narrow columns.
+        # The collect is bounded: one narrow row per distinct user at the
+        # registry sf dirs (<=1.5k at sf0.1). This fixture trade-off does
+        # NOT apply at scale — a production upsert keeps `dest` as a
+        # permanent table (plans/sinks.py upsert writers) and never
+        # round-trips it through the driver.
         rows = spark.read.parquet(dest).select("user_id", "event_id", "event_type").collect()
         return spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
     finally:
@@ -3407,7 +3411,9 @@ def gx2_spanfrac_twin_gate(spark, sf_dir):
     from .operators.dedup import span_dup_fraction
 
     docs = _t(spark, sf_dir, "documents")
-    a = span_dup_fraction(docs, gram_n=3)  # md5 — dd7, the oracled sibling
+    # a is referenced twice (join side + n_docs count) — persist so the
+    # three-exchange gram pipeline runs once, per the gx1 gate's discipline
+    a = span_dup_fraction(docs, gram_n=3).persist()  # md5 — dd7, the oracled sibling
     b = span_dup_fraction(docs, gram_n=3, hash_impl="xxhash64")  # dd7x
     j = a.alias("a").join(b.alias("b"), "doc_id", "full")
     n_docs = a.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -57,6 +57,15 @@ def get_spark(
     default to the core count so small-scale runs don't fragment into 200
     near-empty tasks, while AQE coalescing keeps large runs right-sized.
     """
+    # Python workers inherit PYTHONPATH, not the driver's sys.path — without
+    # this, any pandas-UDF/mapInPandas stage fails to unpickle package
+    # functions when the driver was launched from a cwd outside the repo
+    # (cluster deployments ship the package via spark-submit --py-files
+    # instead; see jobs/pipeline.py)
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _pkg_root + (os.pathsep + _pp if _pp else "")
     n = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{n}]")

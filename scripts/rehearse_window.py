@@ -34,7 +34,9 @@ def run_oracle_with_timeout(duck, sql: str, timeout_sec: float):
     burned >25 CPU-minutes without finishing. The engine's answer at sf0.1
     is still produced and recorded; a timed-out oracle means the CHECK is
     deferred to (a) the sf0.01 gate, where the same oracle completes, and
-    (b) the Spark-side twin checks below. Returns (df|None, timed_out)."""
+    (b) the Spark-side twin checks below. Returns (df|None, timed_out,
+    conn_poisoned) — conn_poisoned means the worker thread is still inside
+    duck.execute and the connection must be replaced before further use."""
     box: dict = {}
 
     def work():
@@ -49,10 +51,14 @@ def run_oracle_with_timeout(duck, sql: str, timeout_sec: float):
     if t.is_alive():
         duck.interrupt()
         t.join(60)
-        return None, True
+        # if the worker is STILL inside duck.execute after interrupt+grace,
+        # the connection must not be reused from this thread (DuckDB's
+        # Python connection is not thread-safe under concurrent use) —
+        # the caller discards it and opens a fresh one.
+        return None, True, t.is_alive()
     if "err" in box:
         raise box["err"]
-    return box["df"], False
+    return box["df"], False, False
 
 
 def _normalize(pdf: pd.DataFrame) -> list[tuple]:
@@ -97,11 +103,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    duck = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        path = os.path.join(args.sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    def fresh_duck():
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            path = os.path.join(args.sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        return con
+
+    duck = fresh_duck()
 
     report: dict = {"sf_dir": args.sf_dir, "cpus": args.cpus, "entries": {}}
     n_exact = n_rows_only = n_fail = n_timeout = 0
@@ -121,8 +131,13 @@ def main() -> int:
                 print(f"{name}: rows_only rows={len(got)} ({spark_sec}s)", flush=True)
                 continue
             t1 = time.monotonic()
-            exp, timed_out = run_oracle_with_timeout(duck, sql, args.oracle_timeout)
+            exp, timed_out, conn_poisoned = run_oracle_with_timeout(duck, sql, args.oracle_timeout)
             oracle_sec = round(time.monotonic() - t1, 2)
+            if conn_poisoned:
+                # the interrupted worker never returned — abandon that
+                # connection (still held alive by its daemon thread) and
+                # continue the rehearsal on a fresh one
+                duck = fresh_duck()
             if timed_out:
                 report["entries"][name] = {
                     "status": "oracle_timeout",
@@ -192,6 +207,9 @@ def main() -> int:
         "failed": n_fail,
     }
     out = args.out or f"BENCH/rehearsal_sf{os.path.basename(args.sf_dir.rstrip('/'))[2:]}.json"
+    out_dir = os.path.dirname(out)
+    if out_dir:  # hours of rehearsal must not die on a missing report dir
+        os.makedirs(out_dir, exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["summary"]))

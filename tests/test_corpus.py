@@ -573,6 +573,22 @@ def test_length_decile_buckets_approx_agrees_with_exact_at_sf001(spark):
     assert j.count() == docs.count()
 
 
+def test_length_decile_buckets_non_divisor_bucket_counts_agree(spark):
+    # the two paths must share ONE quantile grid (i/n_buckets) for every
+    # n_buckets — an integer-percent grid only coincides when n_buckets
+    # divides 100, so tertiles/septiles would silently verify different
+    # cut points than production
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from otel_kafka_pg_spark.operators.corpus import length_decile_buckets
+
+    for nb in (3, 7, 13):
+        a = length_decile_buckets(docs, n_buckets=nb).alias("a")
+        e = length_decile_buckets(docs, n_buckets=nb, exact=True).alias("e")
+        j = a.join(e, "doc_id")
+        assert j.filter("a.bucket != e.bucket").count() == 0, nb
+        assert j.count() == docs.count()
+
+
 def test_pmi_collocations_planted_phrase(spark):
     from pyspark.sql import functions as F
 
