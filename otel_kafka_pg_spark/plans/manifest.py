@@ -147,13 +147,37 @@ def save_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def input_fingerprint(path: str) -> str:
-    """Deterministic identity of an input dataset: file names + sizes."""
-    parts = []
-    if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            fp = os.path.join(path, name)
-            if os.path.isfile(fp) and not name.startswith(("_", ".")):
-                parts.append(f"{name}:{os.path.getsize(fp)}")
-    elif os.path.isfile(path):
-        parts.append(f"{os.path.basename(path)}:{os.path.getsize(path)}")
+    """Deterministic identity of an input dataset: relative file paths +
+    sizes, listed RECURSIVELY (hive-partitioned inputs keep their data under
+    ``key=value/`` subdirectories) and through pyarrow's filesystem layer so
+    ``s3a://…``/``hdfs://…`` URIs fingerprint the same way local paths do.
+
+    The fingerprint always embeds ``path`` itself: an unlistable or empty
+    input must never share a fingerprint with a different unlistable or
+    empty input, otherwise resume would treat them as the same dataset and
+    skip all work (the "" == "" false-match).
+    """
+    parts = [f"path={path}"]
+    try:
+        import pyarrow.fs as pafs
+
+        filesystem, root = pafs.FileSystem.from_uri(
+            path.replace("s3a://", "s3://", 1) if "://" in path else os.path.abspath(path)
+        )
+        info = filesystem.get_file_info(root)
+        if info.type == pafs.FileType.File:
+            parts.append(f"{os.path.basename(root)}:{info.size}")
+        elif info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(root, recursive=True)
+            for fi in sorted(filesystem.get_file_info(sel), key=lambda fi: fi.path):
+                base = os.path.basename(fi.path)
+                if fi.type == pafs.FileType.File and not base.startswith(("_", ".")):
+                    rel = fi.path[len(root):].lstrip("/")
+                    parts.append(f"{rel}:{fi.size}")
+        else:
+            parts.append("missing")
+    except Exception:  # noqa: BLE001 — unlistable input: never match anything
+        # stored, so resume REWRITES rather than silently skipping work over
+        # data it cannot identify (a per-call nonce keeps it unmatchable)
+        parts.append(f"unlistable:{os.urandom(8).hex()}")
     return "|".join(parts)

@@ -50,6 +50,19 @@ class SinkFailure(RuntimeError):
     """Test hook: injected failure between sink writes (resume testing)."""
 
 
+def _lookup_fingerprint(lookup: DataFrame) -> str:
+    """Deterministic identity of a caller-provided enrich lookup, folded into
+    the resume fingerprint: a partial resume must NOT mix sinks enriched
+    with one lookup with sinks enriched with another (the already-complete
+    sinks would silently disagree with the resumed ones). The lookup is the
+    broadcast side — collecting its few rows here is bounded by the same
+    contract that makes the join a broadcast join."""
+    import hashlib
+
+    rows = sorted(str(sorted(r.asDict().items())) for r in lookup.collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
 def build_routed(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -111,6 +124,8 @@ def run_pipeline(
     are identical either way (asserted in tests).
     """
     fp = input_fingerprint(input_path)
+    if lookup is not None:
+        fp += "|lookup:" + _lookup_fingerprint(lookup)
     manifest = load_manifest(out_dir) if resume else {"input_fingerprint": None, "sinks": {}}
     # a onepass-layout manifest over the same out_dir marks the SAME sinks
     # "complete" but never wrote the per-sink directories this layout
@@ -130,14 +145,18 @@ def run_pipeline(
 
     transcripts = spark.read.parquet(input_path)
     routed = build_routed(spark, transcripts, lookup, parse_impl, salt_buckets)
+    # a cache only pays for itself when more than one sink will scan it —
+    # a single-sink resume scans the frame exactly once
+    persist_routed = persist_routed and len(pending) > 1
     if persist_routed:
         routed = routed.persist()
     try:
         t0 = time.monotonic()
-        for sink_name in SINK_BUILDERS:
+        builders = {**SINK_BUILDERS, "sink_counts": sink_counts}
+        for sink_name, builder in builders.items():
             if sink_name not in pending:
                 continue
-            sink_df = SINK_BUILDERS[sink_name](routed)
+            sink_df = builder(routed)
             dest = os.path.join(out_dir, sink_name)
             rows, chash, lineage = write_with_summary(sink_df, dest)
             manifest["sinks"][sink_name] = {
@@ -150,18 +169,6 @@ def run_pipeline(
             save_manifest(out_dir, manifest)
             if fail_after_sink == sink_name:
                 raise SinkFailure(f"injected failure after sink {sink_name}")
-        if "sink_counts" in pending:
-            counts = sink_counts(routed)
-            dest = os.path.join(out_dir, "sink_counts")
-            rows, chash, lineage = write_with_summary(counts, dest)
-            manifest["sinks"]["sink_counts"] = {
-                "status": "complete",
-                "rows": rows,
-                "content_hash": chash,
-                "path": dest,
-                "lineage": lineage,
-            }
-            save_manifest(out_dir, manifest)
         # routing is exclusive and exhaustive (trace|metric|log), so the input
         # row count is exactly the sum of the three sink row counts — no
         # separate count job over the routed frame
@@ -229,6 +236,8 @@ def run_pipeline_onepass(
     from .manifest import content_hash
 
     fp = input_fingerprint(input_path)
+    if lookup is not None:
+        fp += "|lookup:" + _lookup_fingerprint(lookup)
     if resume:  # resume=False forces a full rewrite even over a complete manifest
         existing = load_manifest(out_dir)
         if existing.get("input_fingerprint") == fp and existing.get("layout") == "onepass" and all(
@@ -240,6 +249,12 @@ def run_pipeline_onepass(
     routed_dest = os.path.join(out_dir, "routed")
     t0 = time.monotonic()
     routed = build_routed(spark, spark.read.parquet(input_path), lookup, parse_impl)
+    # write only the union of sink-consumed columns: no sink reads the raw
+    # text (message was derived at parse), the resource_attrs map (the
+    # rendered attributes JSON is precomputed by with_attributes), or
+    # turn_seq — dropping them keeps the one write's volume at the
+    # three-sink form's level instead of duplicating the heaviest column
+    routed = routed.drop("text", "resource_attrs", "turn_seq")
     routed.write.mode("overwrite").partitionBy("signal_type").parquet(routed_dest)
 
     back = spark.read.parquet(routed_dest)
@@ -262,6 +277,15 @@ def run_pipeline_onepass(
         "path": counts_dest,
         "lineage": lineage,
     }
+    # manifest symmetry with run_pipeline: routing is exclusive+exhaustive,
+    # so input rows = sum of the three sink partitions, and this layout has
+    # no partial resume — every complete manifest describes one full run
+    input_rows = sum(manifest["sinks"][s]["rows"] for s in SINK_BUILDERS)
+    for s in manifest["sinks"].values():
+        s["input_rows"] = input_rows
     manifest["elapsed_sec"] = time.monotonic() - t0
+    manifest["turns_per_sec"] = (
+        input_rows / manifest["elapsed_sec"] if manifest["elapsed_sec"] else None
+    )
     save_manifest(out_dir, manifest)
     return manifest

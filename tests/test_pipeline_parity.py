@@ -192,3 +192,67 @@ def test_pipeline_survives_mega_conversation_skew(spark, tmp_path):
     # ordering survived the skew: turn_idx is dense 0..n-1 for the mega conv
     mm = mega.agg(_F.min("turn_idx"), _F.max("turn_idx"), _F.count_distinct("turn_idx")).collect()[0]
     assert tuple(mm) == (0, n_mega - 1, n_mega)
+
+
+def test_resume_invalidated_by_different_lookup(spark, transcripts_path, tmp_path):
+    """A partial/complete resume must not mix enrichments: the same out_dir
+    re-run with a DIFFERENT lookup re-derives every sink (the fingerprint
+    folds the lookup content in), and with the SAME lookup resumes as a
+    no-op."""
+    import pandas as pd
+
+    lk1 = spark.createDataFrame(service_lookup_pandas())
+    out = str(tmp_path / "lk_out")
+    m1 = run_pipeline(spark, transcripts_path, out, lookup=lk1)
+    assert m1.get("turns_per_sec") is not None
+    # same lookup content (fresh frame) → clean resume, nothing rewritten
+    lk1b = spark.createDataFrame(service_lookup_pandas())
+    m2 = run_pipeline(spark, transcripts_path, out, lookup=lk1b)
+    assert m2["sinks"] == m1["sinks"] and "elapsed_sec" not in (m2.keys() - m1.keys())
+    # different lookup → full rewrite with the new enrichment
+    alt = service_lookup_pandas()
+    alt["service_name"] = alt["service_name"] + "-v2"
+    m3 = run_pipeline(spark, transcripts_path, out, lookup=spark.createDataFrame(alt))
+    assert m3["input_fingerprint"] != m1["input_fingerprint"]
+    assert (
+        spark.read.parquet(f"{out}/traces").filter("service_name LIKE '%-v2'").count() > 0
+    )
+
+
+def test_input_fingerprint_recursive_and_distinct(tmp_path):
+    """Partitioned (nested) inputs fingerprint their nested files; distinct
+    empty/missing inputs never share a fingerprint (the ''=='' false-match
+    that made resume skip work over a different dataset)."""
+    from otel_kafka_pg_spark.plans.manifest import input_fingerprint
+
+    a = tmp_path / "in_a" / "signal_type=log"
+    a.mkdir(parents=True)
+    (a / "part-0.parquet").write_bytes(b"x" * 10)
+    fp1 = input_fingerprint(str(tmp_path / "in_a"))
+    assert "part-0.parquet:10" in fp1 and "signal_type=log" in fp1
+    (a / "part-0.parquet").write_bytes(b"x" * 11)  # same name, new size
+    assert input_fingerprint(str(tmp_path / "in_a")) != fp1
+    e1 = tmp_path / "empty_one"
+    e2 = tmp_path / "empty_two"
+    e1.mkdir()
+    e2.mkdir()
+    assert input_fingerprint(str(e1)) != input_fingerprint(str(e2))
+    assert input_fingerprint(str(tmp_path / "missing_a")) != input_fingerprint(
+        str(tmp_path / "missing_b")
+    )
+
+
+def test_onepass_written_superset_is_slim(spark, transcripts_path, tmp_path):
+    """The onepass routed write must carry only sink-consumed columns —
+    never the raw text, the resource_attrs map, or turn_seq (the heaviest
+    unconsumed columns; dropping them keeps the one write at the
+    three-sink form's volume), and it records the same throughput fields
+    as the multiwrite manifest."""
+    from otel_kafka_pg_spark.plans.pipeline import run_pipeline_onepass
+
+    out = str(tmp_path / "op_out")
+    m = run_pipeline_onepass(spark, transcripts_path, out)
+    written = spark.read.parquet(f"{out}/routed")
+    assert not {"text", "resource_attrs", "turn_seq"} & set(written.columns)
+    assert m.get("turns_per_sec") is not None
+    assert all(e.get("input_rows") for e in m["sinks"].values())

@@ -84,6 +84,29 @@ def test_pipeline_default_has_single_shuffle(spark):
     assert n_exchanges == 1, f"default plan must shuffle exactly once (window):\n{plan}"
 
 
+def test_sink_plans_prune_the_ordering_window(spark):
+    """The sinks are order-independent (content-derived IDs), so Catalyst
+    must PRUNE the ordering window — and with it the pipeline's only data
+    shuffle — from every un-persisted sink job (this is the no-persist
+    100 TB path's zero-shuffle property). The window still materializes in
+    the default persist path, where its exchange is load-bearing as the
+    cache's re-parallelizer (measured A/B in BENCH/BASELINE.md round 5:
+    keeping it beats dropping it AND beats a plain repartition)."""
+    from otel_kafka_pg_spark.operators.route import SINK_BUILDERS, sink_counts
+    from otel_kafka_pg_spark.plans.pipeline import build_routed
+    from otel_kafka_pg_spark.sources.synth import load_or_synth_transcripts
+
+    routed = build_routed(spark, spark.read.parquet(load_or_synth_transcripts(2000, seed=7)))
+    for name, builder in SINK_BUILDERS.items():
+        plan = _plan(builder(routed))
+        assert "Window" not in plan, f"{name} sink must not execute the window:\n{plan}"
+        assert "Exchange hashpartitioning" not in plan, name
+    counts_plan = _plan(sink_counts(routed))
+    assert "Window" not in counts_plan
+    # counts keep exactly their own partial-agg exchange, nothing else
+    assert counts_plan.count("Exchange hashpartitioning") == 1
+
+
 def test_pipeline_salted_optin_adds_one_shuffle(spark):
     """salt_buckets>0 (for skew-laid-out sources) adds exactly the salted
     pre-parse exchange and nothing else."""
