@@ -129,8 +129,11 @@ def main() -> int:
             and os.path.exists(stamp_path)
             and os.path.exists(os.path.join(dest, "_SUCCESS"))
         ):
-            with open(stamp_path) as fh:
-                stamp = json.load(fh)
+            try:
+                with open(stamp_path) as fh:
+                    stamp = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                stamp = {}  # torn/unreadable stamp → rebuild the stage, never abort
             if stamp.get("fingerprint") == fp:
                 resumed.append(name)
                 counts[name] = stamp["rows"]
@@ -144,10 +147,14 @@ def main() -> int:
         rows, chash, lin = write_with_summary(frame, dest)
         counts[name] = rows
         lineage[name] = lin
-        with open(stamp_path, "w") as fh:
+        # atomic stamp write (tmp + replace, the save_manifest discipline):
+        # a kill mid-write must leave no stamp rather than a torn one
+        tmp_stamp = stamp_path + ".tmp"
+        with open(tmp_stamp, "w") as fh:
             json.dump(
                 {"fingerprint": fp, "rows": rows, "content_hash": chash, "lineage": lin}, fh
             )
+        os.replace(tmp_stamp, stamp_path)
         return spark.read.parquet(dest)
 
     gated_ids = load_or_build(

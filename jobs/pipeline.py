@@ -44,6 +44,9 @@ def main() -> int:
                          "partitionBy(signal_type) write, sinks as partition-pruned views — "
                          "the no-persist 100 TB fan-out (see SCALE.md)")
     args = ap.parse_args()
+    if args.layout == "onepass" and args.salt_buckets:
+        # validate BEFORE building a Spark session / synthesizing input
+        ap.error("--salt-buckets applies only to --layout multiwrite")
 
     from pyspark import SparkConf
     from pyspark.sql import SparkSession
@@ -71,8 +74,6 @@ def main() -> int:
     from otel_kafka_pg_spark.plans.pipeline import run_pipeline, run_pipeline_onepass
 
     if args.layout == "onepass":
-        if args.salt_buckets:
-            ap.error("--salt-buckets applies only to --layout multiwrite")
         manifest = run_pipeline_onepass(
             spark, input_path, args.output, parse_impl=args.parse_impl,
             resume=not args.no_resume,

@@ -85,10 +85,17 @@ def merge_upsert(
         )
         .drop("_cnt")
     )
+    # presence flag, NOT coalesce per column: a matched update must win
+    # WHOLESALE — including NULL values — exactly like UPDATE SET / ON
+    # CONFLICT DO UPDATE (coalesce would silently keep the base value
+    # wherever an update column is NULL, diverging from the Iceberg MERGE
+    # path; parity incl. the NULL case is pinned in tests/test_sinks.py)
+    upd = upd.withColumn("_u_present", F.lit(True))
     joined = base.join(upd, key, "full_outer")
+    matched = F.col("_u_present").isNotNull()
     return joined.select(
         key,
-        *[F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in value_cols],
+        *[F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c) for c in value_cols],
     )
 
 
@@ -131,19 +138,42 @@ def retention_delete(spark: SparkSession, path: str, delete_cond) -> int:
     The two-rename swap has a crash window where ``path`` is briefly
     absent; entry-time ``recover_interrupted_swap`` restores a stranded
     ``.old`` survivor, so the operation is restartable."""
+    from pyspark.sql import Observation
+
     recover_interrupted_swap(path)
     df = spark.read.parquet(path)
     keep = df.filter(delete_cond.isNull() | ~delete_cond)
     tmp = path.rstrip("/") + ".rewrite.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    keep.write.mode("overwrite").parquet(tmp)  # fully materialized before any swap
-    n = spark.read.parquet(tmp).count()
+    # survivor count rides the write job itself (the write_with_summary
+    # observe pattern) instead of a full read-back scan of the rewritten
+    # data; parquet footers validate it against what actually committed
+    # (observe accumulators can double-count under task retries)
+    obs = Observation()
+    keep.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(tmp)
+    n = obs.get["n"]
+    from .manifest import parquet_file_lineage
+
+    committed = sum(e["rows"] for e in parquet_file_lineage(tmp))
+    if committed != n:  # a retry double-counted: trust the footers
+        n = committed
+    atomic_swap(tmp, path)
+    return n
+
+
+def atomic_swap(tmp: str, path: str) -> None:
+    """The write-tmp → two-rename directory swap shared by every in-place
+    rewrite (retention_delete here, streaming.stream_pipeline.stream_upsert):
+    ``tmp`` must be fully materialized; ``path`` is briefly absent between
+    the two renames, and entry-time ``recover_interrupted_swap`` restores a
+    stranded ``.old`` survivor, so the sequence is crash-restartable. One
+    definition so any future hardening (fsync, object-store guard) lands
+    everywhere at once."""
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
-    return n
 
 
 def retention_delete_iceberg(spark: SparkSession, table: str, where_sql: str) -> None:

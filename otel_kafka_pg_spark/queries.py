@@ -665,11 +665,13 @@ def u1_upsert_merge(spark, sf_dir):
     # branch, odd multiples of 3 the insert branch. plans/sinks.py routes
     # this through a real Iceberg MERGE INTO when the runtime jar is
     # present (test skips cleanly here); the fallback computes the
-    # identical result as a full-outer coalesce.
+    # identical result as a full-outer presence-conditional (a matched
+    # update wins wholesale, NULL values included — real MERGE semantics,
+    # matched by the CASE WHEN below).
     "WITH base AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0), "
     "upd AS (SELECT event_id, value * 2 AS value FROM events WHERE event_id % 3 = 0) "
     "SELECT coalesce(b.event_id, u.event_id) AS event_id, "
-    "round(coalesce(u.value, b.value), 3) AS value "
+    "round(CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END, 3) AS value "
     "FROM base b FULL OUTER JOIN upd u ON b.event_id = u.event_id",
 )
 def u2_merge_into(spark, sf_dir):

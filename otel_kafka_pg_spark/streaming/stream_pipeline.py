@@ -66,13 +66,15 @@ KAFKA_DEFAULTS = {
 def _kafka_turn_stream(spark: SparkSession, kafka_options: dict) -> DataFrame:
     """readStream.format("kafka") → transcript-turn frame: each record's
     value is a JSON-encoded turn (the wire analog of the reference's
-    protobuf payload); the topic column is retained so the router's
-    signal classification can be cross-checked against topic dispatch
-    (consumer.go:242-271). Requires the spark-sql-kafka connector jar."""
+    protobuf payload). Topic dispatch (consumer.go:242-271) is re-derived
+    downstream by the router's content classification, so the kafka topic
+    column is not projected; add ``F.col("topic")`` to the select if a
+    topic-vs-classification cross-check is ever wired in. Requires the
+    spark-sql-kafka connector jar."""
     opts = {**KAFKA_DEFAULTS, **kafka_options}
     raw = spark.readStream.format("kafka").options(**opts).load()
     turn = F.from_json(F.col("value").cast("string"), TRANSCRIPTS)
-    return raw.select(F.col("topic").alias("_topic"), turn.alias("t")).select("_topic", "t.*").drop("_topic")
+    return raw.select(turn.alias("t")).select("t.*")
 
 
 def run_stream(
@@ -98,6 +100,13 @@ def run_stream(
     ``availableNow`` for a continuous processing-time trigger.
     """
     from ..plans.pipeline import build_routed
+    from ..sources.synth import service_lookup_pandas
+
+    # build the (static) enrich lookup ONCE for the stream's lifetime —
+    # inside process_batch it would be re-created and re-broadcast on
+    # every micro-batch of a long-running stream
+    if lookup is None:
+        lookup = spark.createDataFrame(service_lookup_pandas())
 
     checkpoint = os.path.join(out_dir, "_checkpoint")
     if source_format == "kafka":
@@ -115,16 +124,34 @@ def run_stream(
         # broadcast enrich, route) applies unchanged
         import hashlib
 
-        # content signature of the micro-batch's source offsets: for the
-        # file source this is the sorted input-file list. A replayed batch
-        # is skipped ONLY when both batch_id and signature match — if the
+        # content signature of the micro-batch's source: for the file
+        # source this is the sorted input-file list. A replayed batch is
+        # skipped ONLY when both batch_id and signature match — if the
         # checkpoint was wiped/relocated while sink markers remained,
         # replayed batch ids restart at 0 with DIFFERENT inputs and must be
         # processed, not silently dropped (ADVICE r2). Markers and
         # checkpoint still belong together: wipe both to reprocess from
-        # scratch. Sources without file lineage (kafka) sign batch_id only.
+        # scratch. Sources without file lineage (kafka: inputFiles() is
+        # empty) sign the batch CONTENT instead — count + an
+        # order-insensitive hash over the natural key, one cheap agg on a
+        # frame about to be fully processed anyway; a batch_id-only
+        # signature would make stale markers match the re-numbered batches
+        # a checkpoint wipe produces, silently dropping their records.
         files = sorted(batch_df.inputFiles())
-        input_sig = hashlib.sha256("\n".join(files or [f"batch:{batch_id}"]).encode()).hexdigest()
+        if files:
+            sig_src = "\n".join(files)
+        else:
+            m = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(
+                        F.xxhash64(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx")))
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            sig_src = f"batch:{batch_id}:{m['n']}:{m['h']}"
+        input_sig = hashlib.sha256(sig_src.encode()).hexdigest()
         routed = build_routed(spark, batch_df, lookup, parse_impl).persist()
         try:
             builders = {**SINK_BUILDERS, "sink_counts": sink_counts}
@@ -227,9 +254,12 @@ def stream_deduped_turns(
     bounded by ``watermark_delay`` × arrival rate instead of growing with
     the full stream history — choose the delay ≥ the source's maximum
     redelivery lag (for Kafka: the uncommitted-offset window). A duplicate
-    arriving after its original's state expired would pass through; it is
-    then absorbed by the sink-side MERGE upsert keyed on the same id
-    (plans/sinks.py) — the two layers share one identity scheme.
+    arriving after its original's state expired passes through this layer;
+    a sink that must be exactly-once closes that window with a MERGE
+    upsert (plans/sinks.py) keyed on THIS frame's ``row_id`` — note the
+    batch router's sink IDs are a different scheme (they fold in the
+    signal kind and timestamp, operators/route.py:_hash_id), so wire the
+    downstream merge on ``row_id``, not on the router id.
 
     Returns the deduplicated streaming frame (caller starts the sink).
     """
@@ -341,7 +371,7 @@ def stream_upsert(
     """
     from pyspark.sql import Window
 
-    from ..plans.sinks import recover_interrupted_swap
+    from ..plans.sinks import atomic_swap, recover_interrupted_swap
 
     if schema is None:
         schema = spark.read.parquet(input_dir).schema
@@ -363,13 +393,18 @@ def stream_upsert(
         if not os.path.exists(dest):
             upd.write.mode("overwrite").parquet(dest)
             return
-        base = spark.read.parquet(dest)
-        cols = [c for c in base.columns if c != key]
+        base = spark.read.parquet(dest).withColumn("_b_present", F.lit(True))
+        cols = [c for c in base.columns if c not in (key, "_b_present")]
         u = upd.select(key, *[F.col(c).alias(f"_u_{c}") for c in cols])
         uord = F.struct(*[F.col(f"_u_{c}") for c in order_cols])
         bord = F.struct(*[F.col(c) for c in order_cols])
-        take_u = F.col(f"_u_{order_cols[0]}").isNotNull() & (
-            F.col(order_cols[0]).isNull() | (uord >= bord)
+        # a BRAND-NEW key always takes the update row — even with a NULL
+        # order column — matching what the first-batch write path would
+        # have persisted for the same row (without the presence flag, a
+        # new key with NULL order_cols[0] would insert an all-NULL payload)
+        take_u = F.col("_b_present").isNull() | (
+            F.col(f"_u_{order_cols[0]}").isNotNull()
+            & (F.col(order_cols[0]).isNull() | (uord >= bord))
         )
         merged = base.join(u, key, "full_outer").select(
             key, *[F.when(take_u, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c) for c in cols]
@@ -377,11 +412,7 @@ def stream_upsert(
         tmp = dest.rstrip("/") + ".rewrite.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)  # materialized before any rename
-        old = dest.rstrip("/") + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(dest, old)
-        os.rename(tmp, dest)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_swap(tmp, dest)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

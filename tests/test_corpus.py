@@ -174,6 +174,16 @@ def test_corpus_prep_job_matches_registry_dp4(spark, sf_dir, tmp_path_factory):
     assert m6["resumed_stages"] == []
     assert m6["counts"] == m2["counts"]
 
+    # torn-stamp tolerance: a kill mid-stamp-write must degrade to a stage
+    # REBUILD on the next run, never a JSONDecodeError abort (stamps are
+    # written atomically now, but an old torn stamp must also be survivable)
+    with open(os.path.join(out, "gated", "_stage.json"), "w") as fh:
+        fh.write('{"fingerprint": "torn')  # truncated JSON
+    m7 = json.loads(subprocess.run(cmd, capture_output=True, text=True, check=True)
+                    .stdout.strip().splitlines()[-1])
+    assert "gated" not in m7["resumed_stages"]  # torn → rebuilt
+    assert m7["counts"] == m2["counts"]
+
 
 def test_mixture_sample_flattens_skewed_sources(spark):
     """α=0.5 temperature: a 100-doc head source and a 4-doc tail source get

@@ -27,6 +27,17 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}  # update, insert, pass-through
 
 
+def test_merge_upsert_null_update_value_wins(spark):
+    """Real MERGE semantics: a matched update wins WHOLESALE, NULL values
+    included — UPDATE SET value = NULL must null the base value, not keep
+    it (a per-column coalesce silently kept the base; this is the parity
+    contract with merge_upsert_iceberg's real MERGE INTO)."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, value double")
+    upd = spark.createDataFrame([(2, None), (3, None)], "id int, value double")
+    out = {r["id"]: r["value"] for r in merge_upsert(spark, base, upd, "id", ["value"]).collect()}
+    assert out == {1: 10.0, 2: None, 3: None}  # matched→NULL, inserted NULL, pass-through
+
+
 def test_merge_upsert_rejects_duplicate_update_keys(spark):
     # a real MERGE INTO errors when an update row matches more than once;
     # the fallback must too, instead of silently fanning out base rows
@@ -43,8 +54,9 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark):
 def test_merge_upsert_iceberg_matches_fallback(spark, tmp_path):
     if not iceberg_available(spark):
         pytest.skip("iceberg-spark runtime jar not on the classpath in this container")
-    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, value double")
-    upd = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id int, value double")
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (5, 50.0)], "id int, value double")
+    # includes a NULL update value: both paths must null the base value
+    upd = spark.createDataFrame([(2, 99.0), (3, 30.0), (5, None)], "id int, value double")
     got = merge_upsert_iceberg(spark, base, upd, "id", ["value"], str(tmp_path / "wh"))
     exp = merge_upsert(spark, base, upd, "id", ["value"])
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

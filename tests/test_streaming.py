@@ -550,6 +550,33 @@ def test_stream_upsert_late_older_batch_never_regresses(spark, tmp_path_factory)
     assert got == {(1, 100, "click"), (2, 51, "view")}  # user 1 kept the newer row
 
 
+def test_stream_upsert_new_key_with_null_order_col_keeps_payload(spark, tmp_path_factory):
+    """A BRAND-NEW key whose order column is NULL must insert the row's
+    actual payload — the same row arriving in the very first batch would
+    have been written verbatim, so later batches must not degrade it to an
+    all-NULL row (the presence-flag fix: without it, take_u was false for
+    a NULL ts and every value column resolved to the absent base's NULL)."""
+    import datetime as dt
+    import os
+
+    from otel_kafka_pg_spark.streaming.stream_pipeline import stream_upsert
+
+    root = str(tmp_path_factory.mktemp("st6_nullts"))
+    src, dest = os.path.join(root, "src"), os.path.join(root, "state")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    first = spark.createDataFrame([(1, 100, "click", t0)], schema)
+    first.coalesce(1).write.mode("append").parquet(src)
+    stream_upsert(spark, src, dest, key="user_id", schema=first.schema)
+    # second batch: new key 2 with NULL ts, plus a NULL-ts update to key 1
+    second = spark.createDataFrame([(2, 51, "view", None), (1, 99, "view", None)], schema)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream_upsert(spark, src, dest, key="user_id", schema=first.schema)
+    got = {r["user_id"]: (r["event_id"], r["event_type"]) for r in spark.read.parquet(dest).collect()}
+    assert got[2] == (51, "view")  # new key keeps its real payload
+    assert got[1] == (100, "click")  # NULL ts never beats an existing row
+
+
 def test_st6_registry_entry_cleans_its_temp_root(spark):
     """Round-4 advice: st6_stream_upsert leaked its mkdtemp root (the lazy
     parquet read kept state+checkpoint alive; bench runs the entry twice
