@@ -54,6 +54,14 @@ def resource_attrs_map(col: str = "resource_attrs") -> Column:
     return F.col(col)
 
 
+def _nz(m):
+    """NULL map → empty map: array_contains over map_keys(NULL) yields a
+    NULL predicate, which would make map_filter drop every entry and
+    map_concat propagate NULL — a NULL resource map must degrade to
+    'record attrs only', not erase the whole attributes column."""
+    return F.coalesce(m, F.map_from_arrays(F.array(), F.array()))
+
+
 def merge_attrs(record: Column, resource: Column, resource_wins: bool) -> Column:
     """Precedence merge. resource_wins=True → trace flavor (P7,
     processor.go:116-119); False → log flavor (P8, processor.go:213-218).
@@ -65,7 +73,7 @@ def merge_attrs(record: Column, resource: Column, resource_wins: bool) -> Column
     the old form relied on session.py's LAST_WIN conf, which a
     caller-provided vanilla session doesn't set.)
     """
-    low, high = (record, resource) if resource_wins else (resource, record)
+    low, high = (_nz(record), _nz(resource)) if resource_wins else (_nz(resource), _nz(record))
     losing = F.map_filter(low, lambda k, _v: ~F.array_contains(F.map_keys(high), k))
     return F.map_concat(losing, high)
 

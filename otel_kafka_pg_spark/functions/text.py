@@ -38,7 +38,7 @@ def _stopword_hits(toks: Column, stopwords: list[str]) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    sw = stopwords or LANG_STOPWORDS["en"]
+    sw = LANG_STOPWORDS["en"] if stopwords is None else stopwords
     toks = tokens(col)
     return _stopword_hits(toks, sw) / F.greatest(F.size(toks), F.lit(1))
 
@@ -207,35 +207,12 @@ def md5_60bit(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -> Column:
-    """Winnowing twin whose k-gram hash is the first 15 hex chars of
-    md5(gram) as a 60-bit long — bit-for-bit reproducible OUTSIDE Spark
-    (DuckDB: ('0x' || substr(md5(substr(norm,i,k)),1,15))::BIGINT), giving
-    the whole winnowing pipeline (normalize → char k-grams → hash →
-    sliding-window minima → distinct) an exact cross-engine oracle. The
-    xxhash64 variant (winnowing_fingerprints) is the production path."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    chars = F.split(norm, "")
-    n = F.size(chars)
-    gram_str = lambda s: F.concat_ws("", *[s[str(i)] for i in range(k)])  # noqa: E731
-    grams = F.transform(_gram_structs(chars, k, n), lambda s: md5_60bit(gram_str(s)))
-    m = F.size(grams)
-    mins = F.transform(
-        _gram_structs(grams, window, m), lambda s: F.least(*[s[str(i)] for i in range(window)])
-    )
-    return F.array_sort(F.array_distinct(mins))
-
-
-def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
-    character k-grams (the rolling-hash analog — xxhash64 per position),
-    then keep the minimum hash of every sliding window of ``window``
-    positions. Guarantee: any shared substring of length ≥ k+window-1
-    contributes at least one shared fingerprint — the basis of local
-    (partial-overlap) duplicate detection, where full-document sha256 only
-    catches exact duplicates. Pure JVM expressions; output is the sorted
-    distinct fingerprint array.
+def _winnowing(col: Column | str, k: int, window: int, gram_hash) -> Column:
+    """ONE winnowing pipeline (normalize → char k-grams → per-gram hash →
+    sliding-window minima → sorted distinct) parameterized by the gram
+    hash, so the production and oracle variants below are structurally
+    identical BY CONSTRUCTION — an edit to the shared shape cannot de-twin
+    them and silently invalidate t6-vs-t6x comparability.
 
     Both sliding passes (char k-grams, window minima) use the zip-of-
     shifted-slices shape from _gram_structs — the naive substr/slice-
@@ -246,13 +223,35 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Co
     chars = F.split(norm, "")  # one split per row; char array for k-gram zip
     n = F.size(chars)
     grams = F.transform(
-        _gram_structs(chars, k, n), lambda s: F.xxhash64(F.concat_ws("", *[s[str(i)] for i in range(k)]))
+        _gram_structs(chars, k, n),
+        lambda s: gram_hash(F.concat_ws("", *[s[str(i)] for i in range(k)])),
     )
     m = F.size(grams)
     mins = F.transform(
         _gram_structs(grams, window, m), lambda s: F.least(*[s[str(i)] for i in range(window)])
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnowing_fingerprints_md5(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing twin whose k-gram hash is the first 15 hex chars of
+    md5(gram) as a 60-bit long — bit-for-bit reproducible OUTSIDE Spark
+    (DuckDB: ('0x' || substr(md5(substr(norm,i,k)),1,15))::BIGINT), giving
+    the whole winnowing pipeline an exact cross-engine oracle. The
+    xxhash64 variant (winnowing_fingerprints) is the production path."""
+    return _winnowing(col, k, window, md5_60bit)
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
+    character k-grams (the rolling-hash analog — xxhash64 per position),
+    then keep the minimum hash of every sliding window of ``window``
+    positions. Guarantee: any shared substring of length ≥ k+window-1
+    contributes at least one shared fingerprint — the basis of local
+    (partial-overlap) duplicate detection, where full-document sha256 only
+    catches exact duplicates. Pure JVM expressions; output is the sorted
+    distinct fingerprint array."""
+    return _winnowing(col, k, window, F.xxhash64)
 
 
 def fingerprint(col: Column | str) -> Column:

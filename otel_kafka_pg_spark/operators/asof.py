@@ -38,38 +38,49 @@ def asof_join(
     semantics) for the same ``on`` key; nulls when no prior right row.
 
     Precondition: ``value_cols`` must be disjoint from the left frame's
-    columns — otherwise the union would select the column twice and the
-    left copies would pollute the last(ignorenulls) fill. Rename left-side
-    collisions before calling."""
+    columns — otherwise the output column would be ambiguous. The internal
+    marker names ``_tag``/``_ats``/``_rrow`` are likewise reserved (a left
+    column of that name would be silently overwritten). Rename collisions
+    before calling.
+
+    NULL semantics match DuckDB ASOF / pandas merge_asof exactly: the fill
+    carries the matched right ROW as one struct (``last(struct,
+    ignorenulls)``), so a right row whose VALUE is NULL still wins the
+    match and fills NULL (a per-column ignorenulls fill would return a
+    stale older value, and could tear columns from different right rows);
+    right rows with a NULL timestamp are excluded up front (``l.ts >=
+    NULL`` is never true)."""
     lcols = left.columns
-    clash = set(value_cols) & set(lcols)
+    clash = (set(value_cols) | {"_tag", "_ats", "_rrow"}) & set(lcols)
     if clash:
         raise ValueError(
-            f"value_cols {sorted(clash)} already exist on the left frame; "
-            "rename them before asof_join (they would shadow the as-of fill)"
+            f"columns {sorted(clash)} on the left frame collide with asof_join's "
+            "output value_cols or internal markers; rename them before the join"
         )
-    l = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    r = right.select(
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_tag"),
+        *[c for c in lcols if c != on],
+        *[F.lit(None).alias(c) for c in value_cols],
+    )
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).alias(c) for c in lcols if c != on],
         *[F.col(c) for c in value_cols],
-    ).withColumn("_tag", F.lit(0))
-    for c in lcols:
-        if c not in (on,) and c not in r.columns:
-            r = r.withColumn(c, F.lit(None))
-    for c in value_cols:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None))
-    unioned = l.select(on, "_ats", "_tag", *[c for c in lcols if c != on], *value_cols).unionByName(
-        r.select(on, "_ats", "_tag", *[c for c in lcols if c != on], *value_cols)
+    )
+    unioned = l.unionByName(r).withColumn(
+        "_rrow", F.when(F.col("_tag") == 0, F.struct(*value_cols))
     )
     # right rows (_tag 0) sort before left rows at equal ts → inclusive <=
     w = Window.partitionBy(on).orderBy("_ats", "_tag").rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.select(
-        on,
-        "_ats",
         "_tag",
-        *[c for c in lcols if c != on],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[c for c in lcols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
-    return filled.filter(F.col("_tag") == 1).select(*lcols, *value_cols)
+    return filled.filter(F.col("_tag") == 1).select(
+        *lcols, *[F.col(f"_rrow.{c}").alias(c) for c in value_cols]
+    )

@@ -80,8 +80,17 @@ class ResultCache:
             return ent.df, True
         self.misses += 1
         df = build().persist()
-        df.count()
-        self._entries[key] = _Entry(df, now + self.ttl_s)
+        try:
+            df.count()
+        except Exception:
+            # a failed materialization must not strand persisted blocks the
+            # cache no longer references (they'd outlive every purge path)
+            _safe_unpersist(df)
+            raise
+        # TTL starts at MATERIALIZATION, not at miss time: a build taking
+        # close to ttl_s would otherwise insert an already-(nearly-)expired
+        # entry and degrade the cache to a rebuild-per-request
+        self._entries[key] = _Entry(df, time.monotonic() + self.ttl_s)
         return df, False
 
     def _purge_expired(self, now: float) -> int:

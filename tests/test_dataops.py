@@ -336,8 +336,53 @@ def test_asof_join_semantics(spark):
     # precondition guard: a value_col already on the left frame must raise
     # (silently selecting it twice would poison the last(ignorenulls) fill)
     left_clash = left.withColumnRenamed("tag", "v")
-    with pytest.raises(ValueError, match="value_cols.*left frame"):
+    with pytest.raises(ValueError, match="left frame collide"):
         asof_join(left_clash, right, "user_id", ["v"])
+    # internal marker names are reserved too (would be silently overwritten)
+    with pytest.raises(ValueError, match="left frame collide"):
+        asof_join(left.withColumnRenamed("tag", "_ats"), right, "user_id", ["v"])
+
+
+def test_asof_join_null_semantics_match_duckdb(spark):
+    """DuckDB-ASOF parity on the NULL cases a per-column ignorenulls fill
+    gets wrong: (a) a matched right row with a NULL value fills NULL, never
+    a stale older value; (b) multi-column fills never tear across different
+    right rows; (c) right rows with a NULL timestamp are never matched."""
+    import datetime as dt
+
+    from otel_kafka_pg_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("u1", t(6), "x"), ("u3", t(5), "y")], "user_id string, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", t(1), 7.0, 100.0), ("u1", t(5), None, 200.0), ("u3", None, 9.0, 9.0)],
+        "user_id string, ts timestamp, a double, b double",
+    )
+    out = {r["tag"]: (r["a"], r["b"]) for r in asof_join(left, right, "user_id", ["a", "b"]).collect()}
+    # the t=5 row wins the match: its NULL a fills NULL (not the stale 7.0),
+    # and both columns come from the SAME right row
+    assert out["x"] == (None, 200.0)
+    # a NULL right timestamp never matches (l.ts >= NULL is never true)
+    assert out["y"] == (None, None)
+
+
+def test_merge_attrs_null_map_degrades_to_other_side(spark):
+    """A NULL attrs map (e.g. a raw left-join miss, without the pipeline's
+    coalesce) must degrade the merge to the other side's entries — not
+    NULL the whole attributes column."""
+    from otel_kafka_pg_spark.functions.attrs import canonical_json, merge_attrs
+
+    df = spark.createDataFrame([("v",)], "k string").select(
+        F.create_map(F.lit("rk"), F.col("k")).alias("rec"),
+        F.lit(None).cast("map<string,string>").alias("res"),
+    )
+    for wins in (True, False):
+        got = df.select(
+            canonical_json(merge_attrs(F.col("rec"), F.col("res"), resource_wins=wins)).alias("j")
+        ).collect()[0]["j"]
+        assert got == '{"rk":"v"}'
 
 
 def test_multimodal_frame_sample(spark):
