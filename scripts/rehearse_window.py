@@ -86,12 +86,26 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--oracle-timeout", type=float, default=300.0)
+    ap.add_argument(
+        "--extras",
+        action="store_true",
+        help=(
+            "rehearse EXTRA_REGISTRY (the 101 rotated-out / local-gate "
+            "entries) instead of the 50-entry driver window — the same "
+            "Spark-vs-DuckDB comparison at whatever --sf-dir, so rotated "
+            "entries keep earning 10x-scale evidence after leaving the "
+            "driver window"
+        ),
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from otel_kafka_pg_spark.queries import DRIVER_ORDER, REGISTRY
+    from otel_kafka_pg_spark.queries import DRIVER_ORDER, EXTRA_REGISTRY, REGISTRY
     from otel_kafka_pg_spark.sources.tables import TESTDATA_TABLES
+
+    names = list(EXTRA_REGISTRY) if args.extras else list(DRIVER_ORDER)
+    table = EXTRA_REGISTRY if args.extras else REGISTRY
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -115,8 +129,8 @@ def main() -> int:
 
     report: dict = {"sf_dir": args.sf_dir, "cpus": args.cpus, "entries": {}}
     n_exact = n_rows_only = n_fail = n_timeout = 0
-    for name in DRIVER_ORDER:
-        fn, sql = REGISTRY[name]
+    for name in names:
+        fn, sql = table[name]
         t0 = time.monotonic()
         try:
             got = fn(spark, args.sf_dir).toPandas()
@@ -181,32 +195,37 @@ def main() -> int:
     # recursive-CTE oracles are the timeout candidates have an in-engine
     # cross-check — cc1 (iterative min-label) and cc2 (large-star/small-star)
     # are two independent algorithms that must produce the SAME clustering.
-    try:
-        cc1 = REGISTRY["cc1_dedup_clusters"][0](spark, args.sf_dir).toPandas()
-        cc2 = REGISTRY["cc2_dedup_clusters_star"][0](spark, args.sf_dir).toPandas()
-        twin_ok = (
-            sorted(cc1.columns) == sorted(cc2.columns)
-            and len(cc1) == len(cc2)
-            and _normalize(cc1) == _normalize(cc2)
-        )
-        report["twin_checks"] = {
-            "cc1_vs_cc2_full_frame_equal": bool(twin_ok),
-            "rows": len(cc1),
-        }
-        print(f"twin cc1==cc2: {twin_ok} rows={len(cc1)}", flush=True)
-        if not twin_ok:
+    # (window entries — skipped in --extras mode)
+    if not args.extras:
+        try:
+            cc1 = REGISTRY["cc1_dedup_clusters"][0](spark, args.sf_dir).toPandas()
+            cc2 = REGISTRY["cc2_dedup_clusters_star"][0](spark, args.sf_dir).toPandas()
+            twin_ok = (
+                sorted(cc1.columns) == sorted(cc2.columns)
+                and len(cc1) == len(cc2)
+                and _normalize(cc1) == _normalize(cc2)
+            )
+            report["twin_checks"] = {
+                "cc1_vs_cc2_full_frame_equal": bool(twin_ok),
+                "rows": len(cc1),
+            }
+            print(f"twin cc1==cc2: {twin_ok} rows={len(cc1)}", flush=True)
+            if not twin_ok:
+                n_fail += 1
+        except Exception as e:  # noqa: BLE001
+            report["twin_checks"] = {"error": str(e)[:500]}
             n_fail += 1
-    except Exception as e:  # noqa: BLE001
-        report["twin_checks"] = {"error": str(e)[:500]}
-        n_fail += 1
     report["summary"] = {
-        "total": len(DRIVER_ORDER),
+        "total": len(names),
         "exact": n_exact,
         "rows_only": n_rows_only,
         "oracle_timeout": n_timeout,
         "failed": n_fail,
     }
-    out = args.out or f"BENCH/rehearsal_sf{os.path.basename(args.sf_dir.rstrip('/'))[2:]}.json"
+    suffix = "_extras" if args.extras else ""
+    out = args.out or (
+        f"BENCH/rehearsal_sf{os.path.basename(args.sf_dir.rstrip('/'))[2:]}{suffix}.json"
+    )
     out_dir = os.path.dirname(out)
     if out_dir:  # hours of rehearsal must not die on a missing report dir
         os.makedirs(out_dir, exist_ok=True)
