@@ -132,8 +132,12 @@ def main() -> int:
             try:
                 with open(stamp_path) as fh:
                     stamp = json.load(fh)
-            except (json.JSONDecodeError, OSError):
-                stamp = {}  # torn/unreadable stamp → rebuild the stage, never abort
+            except (ValueError, OSError):
+                # torn/unreadable stamp → rebuild the stage, never abort.
+                # ValueError covers both JSONDecodeError (truncated write)
+                # and UnicodeDecodeError (byte-corrupted file) — the latter
+                # is a ValueError but NOT a JSONDecodeError
+                stamp = {}
             if stamp.get("fingerprint") == fp:
                 resumed.append(name)
                 counts[name] = stamp["rows"]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -152,18 +153,47 @@ def input_fingerprint(path: str) -> str:
     ``key=value/`` subdirectories) and through pyarrow's filesystem layer so
     ``s3a://…``/``hdfs://…`` URIs fingerprint the same way local paths do.
 
-    The fingerprint always embeds ``path`` itself: an unlistable or empty
-    input must never share a fingerprint with a different unlistable or
-    empty input, otherwise resume would treat them as the same dataset and
-    skip all work (the "" == "" false-match).
+    The fingerprint always embeds the NORMALIZED input root (abspath for
+    local paths, scheme-normalized URI otherwise), never the caller's
+    literal spelling: ``data/in`` and ``/abs/data/in`` must resume each
+    other. An unlistable or empty input must never share a fingerprint
+    with a different unlistable or empty input, otherwise resume would
+    treat them as the same dataset and skip all work (the "" == ""
+    false-match) — but "unlistable" means a REAL listing error, reported
+    loudly; a missing pyarrow falls back to ``os``-level listing for
+    local paths rather than silently disabling resume forever.
     """
-    parts = [f"path={path}"]
+    is_uri = "://" in path
+    norm = path.replace("s3a://", "s3://", 1) if is_uri else os.path.abspath(path)
+    parts = [f"path={norm}"]
     try:
         import pyarrow.fs as pafs
-
-        filesystem, root = pafs.FileSystem.from_uri(
-            path.replace("s3a://", "s3://", 1) if "://" in path else os.path.abspath(path)
-        )
+    except ImportError:
+        if is_uri:
+            # cannot list a remote filesystem without pyarrow — unmatchable
+            # nonce (resume rewrites), and say so instead of silently looping
+            print(
+                f"[manifest] pyarrow unavailable; cannot fingerprint remote input {norm!r} "
+                "— resume disabled for this run",
+                file=sys.stderr,
+            )
+            parts.append(f"unlistable:{os.urandom(8).hex()}")
+        elif os.path.isfile(norm):
+            parts.append(f"{os.path.basename(norm)}:{os.path.getsize(norm)}")
+        elif os.path.isdir(norm):
+            entries = []
+            for dirpath, _dirs, files in os.walk(norm):
+                for base in files:
+                    if base.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(dirpath, base)
+                    entries.append(f"{os.path.relpath(full, norm)}:{os.path.getsize(full)}")
+            parts.extend(sorted(entries))
+        else:
+            parts.append("missing")
+        return "|".join(parts)
+    try:
+        filesystem, root = pafs.FileSystem.from_uri(norm)
         info = filesystem.get_file_info(root)
         if info.type == pafs.FileType.File:
             parts.append(f"{os.path.basename(root)}:{info.size}")
@@ -176,8 +206,16 @@ def input_fingerprint(path: str) -> str:
                     parts.append(f"{rel}:{fi.size}")
         else:
             parts.append("missing")
-    except Exception:  # noqa: BLE001 — unlistable input: never match anything
-        # stored, so resume REWRITES rather than silently skipping work over
-        # data it cannot identify (a per-call nonce keeps it unmatchable)
+    except Exception as exc:  # noqa: BLE001 — unlistable input: never match
+        # anything stored, so resume REWRITES rather than silently skipping
+        # work over data it cannot identify (a per-call nonce keeps it
+        # unmatchable) — and the cause is printed, not swallowed, so a
+        # permanent environment defect (bad credentials, wrong URI) shows up
+        # as a message per run instead of an unexplained full-rewrite loop
+        print(
+            f"[manifest] input {norm!r} unlistable ({type(exc).__name__}: {exc}) "
+            "— resume disabled for this run",
+            file=sys.stderr,
+        )
         parts.append(f"unlistable:{os.urandom(8).hex()}")
     return "|".join(parts)

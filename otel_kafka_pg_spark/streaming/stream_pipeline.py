@@ -137,17 +137,29 @@ def run_stream(
         # frame about to be fully processed anyway; a batch_id-only
         # signature would make stale markers match the re-numbered batches
         # a checkpoint wipe produces, silently dropping their records.
+        # The combiner is SUM of per-row hashes (in decimal(38,0): an ANSI
+        # bigint sum could overflow-error), NOT bit_xor: xor cancels
+        # duplicated keys pairwise ({B,A,A} xors to hash(B) alone), so two
+        # different batches sharing one unduplicated row would collide —
+        # and Kafka redelivery makes repeated (conv_id, turn_idx) pairs
+        # realistic. The key encoding tags each field and gives NULL its
+        # own sentinel because concat_ws silently drops NULLs, which would
+        # make (a, NULL) and (NULL, a) hash identically.
         files = sorted(batch_df.inputFiles())
         if files:
             sig_src = "\n".join(files)
         else:
+            key = F.concat(
+                F.lit("c="),
+                F.coalesce(F.col("conv_id").cast("string"), F.lit("\x00null")),
+                F.lit("|t="),
+                F.coalesce(F.col("turn_idx").cast("string"), F.lit("\x00null")),
+            )
             m = batch_df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
-                    F.bit_xor(
-                        F.xxhash64(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx")))
-                    ),
-                    F.lit(0),
+                    F.sum(F.xxhash64(key).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
                 ).alias("h"),
             ).collect()[0]
             sig_src = f"batch:{batch_id}:{m['n']}:{m['h']}"

@@ -242,6 +242,22 @@ def test_input_fingerprint_recursive_and_distinct(tmp_path):
     )
 
 
+def test_input_fingerprint_normalizes_path_spelling(tmp_path, monkeypatch):
+    """Equivalent spellings of the same input (relative vs absolute,
+    trailing slash) must produce the SAME fingerprint — a job first run
+    with ``--input data/in`` and resumed with ``--input /abs/data/in``
+    must resume, not rewrite everything."""
+    from otel_kafka_pg_spark.plans.manifest import input_fingerprint
+
+    d = tmp_path / "in_norm"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 7)
+    absolute = input_fingerprint(str(d))
+    assert input_fingerprint(str(d) + "/") == absolute
+    monkeypatch.chdir(tmp_path)
+    assert input_fingerprint("in_norm") == absolute
+
+
 def test_onepass_written_superset_is_slim(spark, transcripts_path, tmp_path):
     """The onepass routed write must carry only sink-consumed columns —
     never the raw text, the resource_attrs map, or turn_seq (the heaviest
