@@ -198,6 +198,28 @@ def word_2grams_all(col: Column | str) -> Column:
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
+def ws_tokens(col: Column | str) -> Column:
+    """Lowercase whitespace tokens, empty-string-filtered — THE shared
+    tokenizer: the vocab/shingle/TF-IDF operators (corpus._tokens) and the
+    SimHash fingerprints (dedup._simhash_with) must tokenize through this
+    one definition, or an adjustment to it (e.g. control-char stripping)
+    would silently de-twin SimHash from the token-derived operators and
+    break the cross-family comparability the twin gates rely on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """THE whitespace-normalization of this codebase: lowercase, trim,
+    collapse whitespace runs to one space. Every content-fingerprint path
+    (``fingerprint``, ``_winnowing``, ``incremental_dedup``) normalizes
+    through this one definition — like ``md5_60bit``, a second copy
+    drifting (e.g. one gaining control-char stripping) would silently
+    de-twin the dedup indexes built on different waves."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def md5_60bit(c: Column) -> Column:
     """First 15 hex chars of md5 as a 60-bit long — THE engine-portable
     hash of this codebase (DuckDB twin: ``('0x' || substr(md5(x), 1,
@@ -218,8 +240,7 @@ def _winnowing(col: Column | str, k: int, window: int, gram_hash) -> Column:
     shifted-slices shape from _gram_structs — the naive substr/slice-
     inside-lambda form re-ran the normalization regex and the whole hash
     array per ELEMENT (O(n²) per document; see _gram_structs)."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = normalize_ws(col)
     chars = F.split(norm, "")  # one split per row; char array for k-gram zip
     n = F.size(chars)
     grams = F.transform(
@@ -257,9 +278,7 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Co
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: sha256 over whitespace-normalized lowercase text
     (the deterministic analog of a rolling content hash)."""
-    c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.sha2(normalized, 256)
+    return F.sha2(normalize_ws(col), 256)
 
 
 def _gram_structs(arr: Column, k: int, n: Column) -> Column:

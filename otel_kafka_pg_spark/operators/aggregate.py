@@ -28,7 +28,6 @@ SEVERITY_RANK_CASE = {"error": 1, "signup": 2, "purchase": 3, "click": 4, "view"
 
 
 def severity_rank_col(col: str = "event_type"):
-    expr = F
     rank = None
     for name, r in SEVERITY_RANK_CASE.items():
         cond = F.col(col) == name
@@ -94,7 +93,10 @@ def page_events(
     col = SORT_WHITELIST.get(sort_field, "ts")
     primary = F.col(col).desc() if descending else F.col(col).asc()
     out = df.orderBy(primary, F.col("event_id").asc())
-    if offset:
+    # offset is client-controlled in the request analog: clamp like limit
+    # (reference clamps bad paging params to defaults, never errors) — a
+    # negative value would fail Spark's analysis check and kill the request
+    if offset > 0:
         out = out.offset(offset)
     return out.limit(limit)
 

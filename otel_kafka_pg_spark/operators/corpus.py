@@ -32,20 +32,23 @@ from pyspark.sql.functions import broadcast
 
 
 def _tokens(text_col: str):
-    """Lowercase whitespace tokens, empty-string-filtered."""
-    return F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    """Lowercase whitespace tokens, empty-string-filtered (delegates to the
+    shared text.ws_tokens so SimHash and the token operators can't drift)."""
+    from ..functions.text import ws_tokens
+
+    return ws_tokens(text_col)
 
 
-def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
     """Top-k token vocabulary with document frequency and total count —
     the vocabulary-build pass of a tokenizer-training pipeline.
 
     Deterministic total order (count DESC, token ASC) so the cut at k is
     stable. Columns: token, n_occurrences, n_docs.
     """
-    toks = df.select(F.col("doc_id"), F.explode(_tokens(text_col)).alias("token"))
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("token"))
     return (
         toks.groupBy("token")
         .agg(
@@ -57,7 +60,9 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     )
 
 
-def vocab_oov_stats(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+def vocab_oov_stats(
+    df: DataFrame, text_col: str = "text", k: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus's own top-k
     vocabulary — the tokenizer-coverage check run before committing to a
     vocab size (a high OOV tail means the tokenizer will shred rare words
@@ -75,8 +80,8 @@ def vocab_oov_stats(df: DataFrame, text_col: str = "text", k: int = 100) -> Data
     tokens produce no row (no tokens → coverage undefined), matching the
     GROUP BY semantics of the SQL oracle.
     """
-    vocab = vocab_topk(df, text_col, k).select(F.col("token").alias("_v_token"))
-    toks = df.select(F.col("doc_id"), F.explode(_tokens(text_col)).alias("token"))
+    vocab = vocab_topk(df, text_col, k, id_col).select(F.col("token").alias("_v_token"))
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("token"))
     return (
         toks.join(broadcast(vocab), toks.token == F.col("_v_token"), "left")
         .groupBy("doc_id")
@@ -824,9 +829,10 @@ def length_decile_buckets(
     """Curriculum/length-bucket assignment WITHOUT a global ntile sort:
     derive the (n_buckets-1) cut points, broadcast them, and bucket each
     doc with a threshold scan. bucket i = number of cut points <= the
-    doc's length, so deciles are right-closed: a doc AT a cut point falls
-    in the lower bucket. The bucket stage is always a zero-shuffle
-    broadcast-probe projection.
+    doc's length, so buckets are LEFT-closed at the cuts: a doc exactly
+    AT a cut point falls in the UPPER bucket (length 10 with cuts
+    10,20,... gets bucket 1, not 0 — pinned by tests/test_corpus.py).
+    The bucket stage is always a zero-shuffle broadcast-probe projection.
 
     Two cut-point paths, per the a7/a7b convention (approximate default,
     exact verification config):

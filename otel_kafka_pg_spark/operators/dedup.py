@@ -117,6 +117,11 @@ def paragraph_dedup(
     )
 
 
+# shared guard for the two brute-force all-pairs generators
+# (ngram_jaccard_pairs, embedding_cosine_pairs)
+_UNBOUNDED_PAIRS_CAP = 10_000
+
+
 def _auto_config(threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
     """Threshold-derived sketch sizing: rows-per-band fixed at 2 and bands
     solved from the LSH S-curve so candidate probability at s=threshold is
@@ -201,6 +206,16 @@ def minhash_lsh_pairs(
 
     if bands is None:
         num_hashes, bands = _auto_config(threshold)
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make rows_per_band 0 — every band hash a
+        # CONSTANT, every doc in one bucket, and the self-join a full O(n²)
+        # cross join; an indivisible combo would silently discard the
+        # trailing num_hashes % bands signatures, changing recall from what
+        # the caller configured. Both must be loud.
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes "
+            f"(got num_hashes={num_hashes}, bands={bands})"
+        )
     rows_per_band = num_hashes // bands
     shingled = df.select(F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_k).alias("sh"))
     flat = shingled.select("id", F.explode("sh").alias("s"))
@@ -262,12 +277,26 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     max_id: int | None = None,
     threshold: float = 0.2,
+    allow_unbounded: bool = False,
 ) -> DataFrame:
     """Exact pairwise word-k-gram Jaccard over a bounded id range (the
-    brute-force baseline the LSH variant approximates)."""
+    brute-force baseline the LSH variant approximates).
+
+    Same unbounded-input guard as ``embedding_cosine_pairs`` — with
+    ``max_id=None`` this is an all-pairs O(n²) self-join; inputs beyond
+    the cap raise (``allow_unbounded=True`` overrides knowingly; the
+    scale path is ``minhash_lsh_pairs``)."""
     base = df
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
+    elif not allow_unbounded:
+        n = base.limit(_UNBOUNDED_PAIRS_CAP + 1).count()
+        if n > _UNBOUNDED_PAIRS_CAP:
+            raise ValueError(
+                f"ngram_jaccard_pairs without max_id is all-pairs O(n²) and the "
+                f"input exceeds {_UNBOUNDED_PAIRS_CAP} rows — use minhash_lsh_pairs "
+                "(the scale path) or pass allow_unbounded=True / a max_id bound"
+            )
     s = base.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -334,10 +363,6 @@ def span_dup_fraction(
 
 
 
-
-_UNBOUNDED_PAIRS_CAP = 10_000
-
-
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -355,9 +380,9 @@ def embedding_cosine_pairs(
     cross join — quadratic in the table. Inputs beyond ~10⁴ rows raise
     (pass ``allow_unbounded=True`` to override knowingly); the check is a
     capped ``limit(N+1).count()``, cheap relative to the n² that follows."""
-    from .simsearch import drop_null_vectors
+    from .simsearch import drop_degenerate_vectors
 
-    base = drop_null_vectors(df, vec_col)
+    base = drop_degenerate_vectors(df, vec_col)
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
     elif not allow_unbounded:
@@ -423,9 +448,9 @@ def embedding_lsh_pairs(
     brute force exactly while the bucketize → explode → bucket-join → verify
     machinery still executes — the verification configuration (the e2/dd4
     exact-oracle-by-parameter pattern)."""
-    from .simsearch import drop_null_vectors, make_bucketizer
+    from .simsearch import drop_degenerate_vectors, make_bucketizer
 
-    base = drop_null_vectors(df, vec_col)
+    base = drop_degenerate_vectors(df, vec_col)
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
     head = base.select(vec_col).head()
@@ -481,11 +506,16 @@ def _simhash_with(df: DataFrame, h, bits: int, text_col: str, id_col: str) -> Da
     partial sums, one shuffle keyed by id) → reassemble from vote signs.
     Shuffle payload is ``bits`` longs per doc regardless of document length
     — the 100 TB-safe shape. Docs with no tokens hash to 0."""
+    from ..functions.text import ws_tokens
+
     ids = df.select(F.col(id_col).alias("id"))
+    # explode(ws_tokens(...)) ≡ the old explode(split).filter(tok != "")
+    # row-for-row (explode of the pre-filtered array skips empties the same
+    # way), but tokenization now goes through the ONE shared definition
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(ws_tokens(text_col)).alias("tok"),
+    )
     votes = toks.groupBy("id").agg(
         *[
             F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
@@ -636,10 +666,9 @@ def incremental_dedup(
     Columns: doc_id, fp (the survivors to ingest; append their fps to the
     index for the next wave).
     """
-    from ..functions.text import md5_60bit
+    from ..functions.text import md5_60bit, normalize_ws
 
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    fps = batch.select(F.col(id_col), md5_60bit(normalized).alias("fp"))
+    fps = batch.select(F.col(id_col), md5_60bit(normalize_ws(text_col)).alias("fp"))
     survivors = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return survivors.join(
         seen_fingerprints.select("fp").distinct(), "fp", "left_anti"

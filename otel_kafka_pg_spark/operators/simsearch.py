@@ -30,6 +30,8 @@ def _cosine(vec_col, query: list[float]):
     dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nq = float(np.sqrt(np.dot(query, query)))
+    if nq == 0.0:
+        raise ValueError("query vector has zero norm — cosine similarity is undefined")
     return dot / (nv * F.lit(nq))
 
 
@@ -39,13 +41,32 @@ def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     operator filters them at entry — the JVM cosine would yield NULL rows,
     and the Arrow twins would crash ``np.stack``-ing a batch holding None
     (real 100 TB corpora have unembedded rows; the operators must not).
-    Imputation/flagging policy belongs upstream of these operators."""
+    Imputation/flagging policy belongs upstream of these operators.
+
+    SIMILARITY operators additionally need ``drop_degenerate_vectors``;
+    representation-only operators (``quantize_embeddings``, which encodes
+    an all-zero vector exactly) use this NULL-only filter."""
     return df.filter(F.col(vec_col).isNotNull())
+
+
+def drop_degenerate_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL-drop plus ZERO-NORM-drop — the entry filter for every COSINE
+    path. A zero-norm vector (padding, failed embed) divides 0.0/0.0 = NaN,
+    which under Spark's NaN-is-largest total order sorts ABOVE 1.0 in every
+    descending top-k and passes every ``cosine >= threshold`` filter: one
+    all-zero embedding would silently top every query's results and pollute
+    every near-dup pair set. Cosine is undefined for it; it is dropped."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k; deterministic tiebreak on id."""
-    df = drop_null_vectors(df, vec_col)
+    df = drop_degenerate_vectors(df, vec_col)
     return (
         df.select(F.col(id_col), F.round(_cosine(F.col(vec_col), query), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -61,9 +82,11 @@ def cosine_topk_pandas(
     10^9-vector scale is memory bandwidth, not expression interpretation
     (the JVM zip_with/aggregate form evaluates a lambda per element). Same
     ordering/rounding as cosine_topk; top-k is still TakeOrdered."""
-    df = drop_null_vectors(df, vec_col)
+    df = drop_degenerate_vectors(df, vec_col)
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm — cosine similarity is undefined")
 
     @pandas_udf(T.DoubleType())
     def cos(vecs: pd.Series) -> pd.Series:
@@ -102,7 +125,7 @@ def fit_ivf_centroids(df: DataFrame, k: int = 8, sample: int = 1024, iters: int 
     Returns ``None`` on empty input (no vectors to fit) — callers fall
     back to brute force, as ``ivf_topk`` does."""
     rows = (
-        drop_null_vectors(df, vec_col).select(vec_col)
+        drop_degenerate_vectors(df, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
         .limit(sample)
         .collect()
@@ -153,7 +176,7 @@ def ivf_topk(
     q = np.asarray(query, dtype=np.float64)
     qd = ((q[None, :] - cents) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(qd)[:n_probe]]
-    celled = drop_null_vectors(df, vec_col).withColumn("_cell", cell_of(F.col(vec_col)))
+    celled = drop_degenerate_vectors(df, vec_col).withColumn("_cell", cell_of(F.col(vec_col)))
     return cosine_topk(celled.filter(F.col("_cell").isin(probe)), query, k, vec_col, id_col)
 
 
@@ -220,7 +243,7 @@ def lsh_bucket_topk(
     brute force asserted at a fixed seed in tests)."""
     bucketize = make_bucketizer(len(query), bits, seed)
     buckets = probe_buckets(query, bits, seed, n_probe)
-    bucketed = drop_null_vectors(df, vec_col).withColumn("_bucket", bucketize(F.col(vec_col)))
+    bucketed = drop_degenerate_vectors(df, vec_col).withColumn("_bucket", bucketize(F.col(vec_col)))
     return cosine_topk(bucketed.filter(F.col("_bucket").isin(buckets)), query, k, vec_col, id_col)
 
 

@@ -667,3 +667,76 @@ def test_quantize_embeddings_zero_vector_and_nulls(spark):
     assert set(rows) == {0, 2}  # NULL vector dropped at entry
     assert rows[0]["q"] == [0, 0] and rows[0]["scale"] == 0.0
     assert rows[2]["q"] == [64, -127]  # floor(63.5+0.5), floor(-127+0.5)=-127
+
+
+def test_zero_norm_vectors_never_top_similarity(spark):
+    """A zero-norm embedding divides 0/0 = NaN, and Spark's NaN-is-largest
+    order would put it FIRST in every descending top-k and through every
+    cosine >= threshold filter. Both the JVM and Arrow cosine paths and
+    both pair generators must exclude it at entry; a zero QUERY vector
+    raises (cosine undefined). quantize_embeddings, which can represent a
+    zero vector exactly, must still keep it."""
+    from otel_kafka_pg_spark.operators.simsearch import (
+        cosine_topk,
+        cosine_topk_pandas,
+        quantize_embeddings,
+    )
+    from otel_kafka_pg_spark.operators.dedup import embedding_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+        "vec_id int, embedding array<float>",
+    )
+    for fn in (cosine_topk, cosine_topk_pandas):
+        got = fn(df, [1.0, 0.0], k=4).collect()
+        ids = [r["vec_id"] for r in got]
+        assert 0 not in ids and 3 not in ids, fn.__name__
+        assert ids[0] == 1 and got[0]["cosine"] == 1.0, fn.__name__
+        with pytest.raises(ValueError, match="zero norm"):
+            fn(df, [0.0, 0.0], k=4)
+    pair_ids = {
+        i
+        for r in embedding_cosine_pairs(df, threshold=0.0).collect()
+        for i in (r["id_a"], r["id_b"])
+    }
+    assert pair_ids == {1, 2}
+    lsh_ids = {
+        i
+        for r in embedding_lsh_pairs(df, threshold=0.0, bits=2).collect()
+        for i in (r["id_a"], r["id_b"])
+    }
+    assert 0 not in lsh_ids and 3 not in lsh_ids
+    q = {r["vec_id"] for r in quantize_embeddings(df).collect()}
+    assert q == {0, 1, 2}  # zero vector representable; only NULL dropped
+
+
+def test_minhash_lsh_pairs_rejects_bad_band_config(spark):
+    """bands > num_hashes would make every band hash a constant (one
+    bucket, O(n^2) cross join); an indivisible combo silently drops
+    trailing signatures. Both must raise."""
+    from otel_kafka_pg_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=48)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=0)
+
+
+def test_ngram_jaccard_pairs_unbounded_raises_on_large_input(spark):
+    """Same guard as embedding_cosine_pairs: all-pairs O(n^2) without a
+    bound must refuse large inputs, with the same escape hatches."""
+    from otel_kafka_pg_spark.operators.dedup import (
+        _UNBOUNDED_PAIRS_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    big = spark.range(_UNBOUNDED_PAIRS_CAP + 1).selectExpr(
+        "id AS doc_id", "'w1 w2 w3 w4' AS text"
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(big)
+    assert ngram_jaccard_pairs(big, max_id=3).count() == 3
+    assert ngram_jaccard_pairs(big.limit(4), allow_unbounded=True).count() == 6

@@ -95,3 +95,19 @@ def test_query_vec_null_vec0_falls_back_with_table_dim(spark, tmp_path):
     assert len(v) == 8 and v[0] == 1.0 and sum(v) == 1.0
     fn, _ = {**REGISTRY, **EXTRA_REGISTRY}["e1_cosine_topk"]
     assert fn(spark, str(tmp_path)).count() == 2  # both non-null vectors ranked
+
+
+def test_page_events_clamps_negative_offset(spark):
+    """offset is client-controlled in the request analog: a negative value
+    must degrade to offset 0 (the reference clamps bad paging params to
+    defaults), not fail Spark's offset >= 0 analysis check and kill the
+    whole request."""
+    from otel_kafka_pg_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "event_id int, value double"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    page = agg.page_events(df, "value", False, limit=3, offset=-1)
+    assert [r["event_id"] for r in page.collect()] == [0, 1, 2]
+    page2 = agg.page_events(df, "value", False, limit=3, offset=2)
+    assert [r["event_id"] for r in page2.collect()] == [2, 3, 4]
