@@ -98,6 +98,22 @@ def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Engine-semantics note (measured on Spark 4.1 / CPython 3.x, pinned by
+# tests/test_parse.py::test_native_pandas_agree_on_nonascii_word_boundaries):
+# java.util.regex \b is UNICODE-aware even without UNICODE_CHARACTER_CLASS
+# (the well-known \b/\w inconsistency in the JDK), exactly like Python's
+# default \b — so the \b-containing patterns (RE_SEV_TOK, RE_MARKERS) must
+# run UNFLAGGED on the Python side ("caféINFO"/"日本語WARN" have no boundary
+# in EITHER engine). Java \s however is ASCII-only ([ \t\n\x0B\f\r]) while
+# Python \s is Unicode-aware (\xa0 etc.), so the whitespace-collapse step
+# alone is pinned ASCII with (?a); F.trim is space-only, so the twin strips
+# " " rather than Python's default unicode-whitespace strip.
+# (DuckDB/RE2 — the oracle engine — has an ASCII \b; the oracles stay exact
+# because the synthetic transcript grammar is ASCII-only. Off-ASCII input
+# the binding contract is native==pandas, pinned by the test above.)
+_ASCII = "(?a)"
+
+
 @pandas_udf(PARSED_FIELDS)
 def _parse_udf(text: pd.Series) -> pd.DataFrame:
     """Arrow-batched grok extraction — vectorized pandas, no per-row Python."""
@@ -107,7 +123,9 @@ def _parse_udf(text: pd.Series) -> pd.DataFrame:
     severity = sev_tok.where(sev_tok != "", sev_mapped)
     status = text.str.extract(RE_STATUS, expand=False).fillna("UNSET")
     message = (
-        text.str.replace(RE_MARKERS, "", regex=True).str.replace(r"\s+", " ", regex=True).str.strip()
+        text.str.replace(RE_MARKERS, "", regex=True)
+        .str.replace(_ASCII + r"\s+", " ", regex=True)
+        .str.strip(" ")
     )
     return pd.DataFrame(
         {

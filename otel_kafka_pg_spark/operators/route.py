@@ -88,7 +88,11 @@ def to_traces(df: DataFrame) -> DataFrame:
         F.coalesce(F.nullif(F.col("call_tool"), F.lit("")), F.lit("unknown")).alias("name"),
         "service_name",
         start.alias("start_time"),
-        (start + dur.cast("long")).alias("end_time"),
+        # try_cast, not cast: ANSI mode (Spark 4 default) raises
+        # CAST_OVERFLOW on a degenerate parsed duration (dur=1e20ms — the
+        # upstream dur_ms extraction is itself try_cast-tolerant), and one
+        # bad row must NULL its end_time, not abort the whole pipeline
+        (start + dur.try_cast("long")).alias("end_time"),
         dur.alias("duration"),
         "status",
         attrs.alias("attributes"),

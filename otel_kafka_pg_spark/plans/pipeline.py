@@ -50,16 +50,25 @@ class SinkFailure(RuntimeError):
     """Test hook: injected failure between sink writes (resume testing)."""
 
 
-def _lookup_fingerprint(lookup: DataFrame) -> str:
-    """Deterministic identity of a caller-provided enrich lookup, folded into
-    the resume fingerprint: a partial resume must NOT mix sinks enriched
-    with one lookup with sinks enriched with another (the already-complete
-    sinks would silently disagree with the resumed ones). The lookup is the
+def _lookup_fingerprint(lookup) -> str:
+    """Deterministic identity of the enrich lookup (Spark or pandas frame),
+    folded into the resume fingerprint: a partial resume must NOT mix sinks
+    enriched with one lookup with sinks enriched with another (the
+    already-complete sinks would silently disagree with the resumed ones).
+    The DEFAULT lookup is fingerprinted too — its content lives in code
+    (sources/synth.py) and can change between versions, which is exactly
+    the mixed-enrich resume this guard exists for. Same content → same
+    fingerprint regardless of which frame type carried it, so an explicit
+    copy of the default resumes a default-run manifest. The lookup is the
     broadcast side — collecting its few rows here is bounded by the same
     contract that makes the join a broadcast join."""
     import hashlib
 
-    rows = sorted(str(sorted(r.asDict().items())) for r in lookup.collect())
+    if hasattr(lookup, "to_dict"):  # pandas
+        recs = lookup.to_dict("records")
+    else:  # Spark
+        recs = (r.asDict() for r in lookup.collect())
+    rows = sorted(str(sorted(rec.items())) for rec in recs)
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
@@ -124,8 +133,7 @@ def run_pipeline(
     are identical either way (asserted in tests).
     """
     fp = input_fingerprint(input_path)
-    if lookup is not None:
-        fp += "|lookup:" + _lookup_fingerprint(lookup)
+    fp += "|lookup:" + _lookup_fingerprint(lookup if lookup is not None else service_lookup_pandas())
     manifest = load_manifest(out_dir) if resume else {"input_fingerprint": None, "sinks": {}}
     # a onepass-layout manifest over the same out_dir marks the SAME sinks
     # "complete" but never wrote the per-sink directories this layout
@@ -236,8 +244,7 @@ def run_pipeline_onepass(
     from .manifest import content_hash
 
     fp = input_fingerprint(input_path)
-    if lookup is not None:
-        fp += "|lookup:" + _lookup_fingerprint(lookup)
+    fp += "|lookup:" + _lookup_fingerprint(lookup if lookup is not None else service_lookup_pandas())
     if resume:  # resume=False forces a full rewrite even over a complete manifest
         existing = load_manifest(out_dir)
         if existing.get("input_fingerprint") == fp and existing.get("layout") == "onepass" and all(

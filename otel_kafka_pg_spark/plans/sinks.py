@@ -231,11 +231,16 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     - Sidecar state (``_batches`` replay markers, any ``_``/``.``-prefixed
       metadata dir) is carried into the rewritten directory — compaction
       must never erase the idempotent-replay bookkeeping. Sidecars are
-      re-copied IMMEDIATELY before the swap (after the slow rewrite), so a
-      marker appended by a concurrent stream during the rewrite window is
-      still carried over; the residual race is the two renames themselves.
-      Compaction of a live streaming sink should still be scheduled between
-      micro-batches (the trigger interval dwarfs two renames) — the same
+      snapshotted BEFORE the data scan: the marker protocol writes data
+      first, then marker, so every marker in the snapshot has its data
+      visible to the scan. A batch committed DURING the rewrite window may
+      lose its marker (and possibly its data) from the compacted copy — on
+      restart the stream replays it, re-appending at-least-once, which the
+      deterministic row IDs / marker dedup downstream absorb. (Copying
+      markers AFTER the scan — the previous behavior — was the unsafe
+      direction: a marker whose data missed the scan would permanently
+      suppress its replay — silent loss.) Compaction of a live streaming
+      sink should still be scheduled between micro-batches — the same
       discipline Iceberg's rewrite_data_files needs vs. concurrent commits.
     - The two-rename swap has a crash window where ``path`` is absent;
       ``recover_interrupted_swap`` (called here on entry) restores the
@@ -279,6 +284,15 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
             if "=" in d and os.path.isdir(os.path.join(path, d))
         }
     )
+    # Sidecar snapshot FIRST (see docstring): a marker present now is
+    # guaranteed to have its data visible to the scan below (data precedes
+    # marker in the commit protocol); anything committed later replays.
+    sidecar_stage = path.rstrip("/") + ".sidecars.tmp"
+    shutil.rmtree(sidecar_stage, ignore_errors=True)
+    os.makedirs(sidecar_stage)
+    for d in os.listdir(path):
+        if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", ".")):
+            shutil.copytree(os.path.join(path, d), os.path.join(sidecar_stage, d))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -286,21 +300,10 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    # sidecars (replay markers etc.) are listed and copied AFTER the rewrite,
-    # immediately before the swap: markers appended by a concurrent stream
-    # during the (slow) rewrite are still carried over
-    sidecars = [
-        d
-        for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", "."))
-    ]
-    for d in sidecars:
-        shutil.copytree(os.path.join(path, d), os.path.join(tmp, d), dirs_exist_ok=True)
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    for d in os.listdir(sidecar_stage):
+        shutil.copytree(os.path.join(sidecar_stage, d), os.path.join(tmp, d), dirs_exist_ok=True)
+    shutil.rmtree(sidecar_stage, ignore_errors=True)
+    atomic_swap(tmp, path)
     return before, len(parquet_file_lineage(path))
 
 

@@ -77,8 +77,9 @@ def synth_transcripts_pandas(n_turns: int = 60_000, seed: int = 42) -> pd.DataFr
         conv_lens.append(ln)
         total += ln
     conv_lens[-1] -= total - n_turns
-    if conv_lens[-1] <= 0:
-        conv_lens[-1] = 1
+    # the trim can't zero the last conv: total < n_turns held before the
+    # final append, so the excess (total - n_turns) is strictly < its length
+    assert conv_lens[-1] > 0
     n = sum(conv_lens)
     lens = np.array(conv_lens)
     conv_ordinal = np.repeat(np.arange(len(lens)), lens)
@@ -187,6 +188,11 @@ def load_or_synth_transcripts(n_turns: int = 60_000, seed: int = 42) -> str:
         pdf = synth_transcripts_pandas(n_turns, seed)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         # ~100k-row row groups: big enough for scan efficiency, small enough
-        # that local[32] gets parallel splits at bench scale
-        pq.write_table(table, path, row_group_size=100_000)
+        # that local[32] gets parallel splits at bench scale.
+        # tmp + os.replace: a crash mid-write must not leave a truncated
+        # file at the cache path — the existence check above would then
+        # serve the torn parquet to every future run.
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp, row_group_size=100_000)
+        os.replace(tmp, path)
     return path

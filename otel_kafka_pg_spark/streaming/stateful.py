@@ -126,32 +126,37 @@ def _append_once(batch_df: DataFrame, batch_id: int, dest: str) -> bool:
     skipped without touching the data; a stale marker from a wiped/
     relocated checkpoint whose batch id collides but whose content differs
     is reprocessed — the overwrite then REPLACES the stale directory
-    rather than appending beside it. (Caveat unchanged from the flat
-    form: a wiped checkpoint replayed under a different batching config
-    re-slices rows across batch ids; replay idempotence assumes the same
-    trigger/source config, which availableNow + a deterministic file
-    source gives.) Marker write is atomic (tmp + replace). Returns True
-    iff data was (re)written."""
+    rather than appending beside it, and a signature-mismatched batch 0
+    is recognized as a NEW STREAM GENERATION (batch ids only restart at 0
+    when the checkpoint was wiped/relocated): every surviving ``batch=*``
+    directory and marker from the previous generation is cleared first,
+    so stale higher-numbered batches can't linger beside the new run's
+    output and double-count in ``read_state_updates``. (Caveat unchanged
+    from the flat form: a wiped checkpoint replayed under a different
+    batching config re-slices rows across batch ids; replay idempotence
+    assumes the same trigger/source config, which availableNow + a
+    deterministic file source gives.) Marker write is atomic (tmp +
+    replace, via the shared ``markers`` protocol). Returns True iff data
+    was (re)written."""
     import hashlib
     import os
+    import shutil
 
     from ..plans.manifest import content_hash
+    from .markers import MARKER_DIR, marker_committed, marker_file, write_marker
 
     rows, h = content_hash(batch_df)
     sig = hashlib.sha256(f"{rows}:{h}".encode()).hexdigest()
-    marker_dir = os.path.join(dest, "_batches")
-    marker = os.path.join(marker_dir, f"{batch_id}.done")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            content = fh.read().strip()
-        if content == "" or content == sig:  # empty = legacy existence-only
-            return False
+    if marker_committed(dest, batch_id, sig):
+        return False
+    if batch_id == 0 and os.path.exists(marker_file(dest, 0)):
+        # new stream generation (see docstring): wipe the previous
+        # generation's batch partitions and markers before writing
+        for d in os.listdir(dest):
+            if d.startswith("batch=") or d == MARKER_DIR:
+                shutil.rmtree(os.path.join(dest, d), ignore_errors=True)
     batch_df.write.mode("overwrite").parquet(os.path.join(dest, f"batch={batch_id}"))
-    os.makedirs(marker_dir, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(sig)
-    os.replace(tmp, marker)
+    write_marker(dest, batch_id, sig)
     return True
 
 

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..operators.route import SINK_BUILDERS, sink_counts
 from ..schemas import TRANSCRIPTS
+from .markers import marker_committed, write_marker
 
 
 # The reference's consumer topology (modules/kafka/consumer/consumer.go):
@@ -177,26 +178,11 @@ def run_stream(
                 # written immediately after the commit so the window is one
                 # filesystem call wide, and the deterministic row IDs let
                 # any downstream dedup close it.
-                marker_dir = os.path.join(out_dir, name, "_batches")
-                marker = os.path.join(marker_dir, f"{batch_id}.done")
-                if os.path.exists(marker):
-                    with open(marker) as fh:
-                        content = fh.read().strip()
-                    # empty marker = legacy existence-only format (markers
-                    # written before signatures existed): the old contract
-                    # was "marker present → committed", so honor it — a
-                    # crash-restart upgrading mid-stream must not re-append
-                    if content == "" or content == input_sig:
-                        continue
-                builder(routed).write.mode("append").parquet(os.path.join(out_dir, name))
-                os.makedirs(marker_dir, exist_ok=True)
-                # atomic marker write (tmp + replace): the signature is
-                # load-bearing for replay-skip, so a crash mid-write must
-                # never leave a truncated marker that re-triggers the append
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as fh:
-                    fh.write(input_sig)
-                os.replace(tmp, marker)
+                sink_dir = os.path.join(out_dir, name)
+                if marker_committed(sink_dir, batch_id, input_sig):
+                    continue
+                builder(routed).write.mode("append").parquet(sink_dir)
+                write_marker(sink_dir, batch_id, input_sig)
         finally:
             routed.unpersist()
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from otel_kafka_pg_spark.functions.parse import parse_turns_native
@@ -82,3 +84,15 @@ def test_stable_order_turn_seq(spark):
     out = with_stable_order(df).select("conv_id", "turn_idx", "turn_seq").collect()
     for r in out:
         assert r["turn_seq"] == r["turn_idx"] + 1  # dense per-conv sequence
+
+
+def test_degenerate_duration_nulls_end_time_not_crash(spark):
+    """Regression (r5 review): ANSI mode (Spark 4 default) raises
+    CAST_OVERFLOW on long-cast of a degenerate parsed duration; one bad
+    row must NULL its end_time (try_cast), not abort the pipeline."""
+    big = "x trace=" + "a" * 32 + " span=" + "b" * 16 + " call:bash(a) status=OK dur=99999999999999999999999.0ms"
+    routed = _prep(spark, [("c1", 0, "user", big, "bash", TS)], _conflicting_lookup())
+    row = to_traces(routed).collect()[0]
+    assert row["end_time"] is None
+    assert row["duration"] == pytest.approx(1e23)
+    assert row["start_time"] is not None

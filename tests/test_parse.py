@@ -138,3 +138,32 @@ def test_fuzz_differential_adversarial_texts(spark):
     b = parse_turns_pandas(df).select("turn_idx", *PARSE_COLS)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_native_pandas_agree_on_nonascii_word_boundaries(spark):
+    """Regression (r5 review): the twin contract must hold off-ASCII.
+    Measured engine semantics: java.util.regex \\b is Unicode-aware (like
+    Python's default — 'caféINFO'/'日本語WARN' have NO boundary in either),
+    but Java \\s is ASCII-only while Python's is Unicode (\\xa0), and
+    F.trim is space-only vs Python strip()'s unicode whitespace. The
+    pandas twin pins (?a) on the \\s-collapse and strips ' ' only, and
+    leaves the \\b patterns unflagged."""
+    texts = [
+        "caféINFO",  # unicode word char abutting a severity token
+        "café INFO au lait",
+        "x\xa0INFO\xa0y",  # NBSP must NOT count as \s or be trimmed
+        "résumé status=ERROR dur=1.5ms",
+        "naïveFATAL trace=" + "a" * 32 + " span=" + "b" * 16,
+        "INFO\xa0",
+        "日本語WARN",
+    ]
+    df = _df(spark, texts)
+    a = parse_turns_native(df).select("turn_idx", *PARSE_COLS)
+    b = parse_turns_pandas(df).select("turn_idx", *PARSE_COLS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # Unicode-\b semantics in force on both sides: 語 breaks no boundary,
+    # so WARN is not a severity token here (falls back to default INFO)
+    one = _parse_one(spark, "日本語WARN")
+    assert one["severity"] == "INFO"
+    assert one["message"] == "日本語WARN"

@@ -272,3 +272,38 @@ def test_onepass_written_superset_is_slim(spark, transcripts_path, tmp_path):
     assert not {"text", "resource_attrs", "turn_seq"} & set(written.columns)
     assert m.get("turns_per_sec") is not None
     assert all(e.get("input_rows") for e in m["sinks"].values())
+
+
+def test_default_lookup_is_fingerprinted_for_resume(spark, transcripts_path, tmp_path):
+    """Regression (r5 review): the DEFAULT enrich lookup must be folded into
+    the resume fingerprint just like a caller-provided one — its content
+    lives in code and can change between versions, the exact mixed-enrich
+    resume _lookup_fingerprint guards against. Same content through either
+    frame type (pandas default vs explicit Spark copy) → same fingerprint
+    → clean resume; a different lookup → full rewrite."""
+    from otel_kafka_pg_spark.plans.manifest import load_manifest
+    from otel_kafka_pg_spark.schemas import SERVICE_LOOKUP
+    from otel_kafka_pg_spark.sources.synth import service_lookup_pandas
+
+    out = str(tmp_path / "deflk")
+    manifest = run_pipeline(spark, transcripts_path, out)
+    assert "|lookup:" in load_manifest(out)["input_fingerprint"]
+
+    # explicit Spark copy of the default → fingerprint match → pure resume
+    same = spark.createDataFrame(service_lookup_pandas())
+    again = run_pipeline(spark, transcripts_path, out, lookup=same)
+    assert again["input_fingerprint"] == manifest["input_fingerprint"]
+    assert {s: e["content_hash"] for s, e in again["sinks"].items()} == {
+        s: e["content_hash"] for s, e in manifest["sinks"].items()
+    }
+
+    # different lookup content → fingerprint mismatch → sinks re-run
+    other = spark.createDataFrame(
+        [("bash", "user", "svc-OTHER", "{}")], SERVICE_LOOKUP
+    )
+    redone = run_pipeline(spark, transcripts_path, out, lookup=other)
+    assert redone["input_fingerprint"] != manifest["input_fingerprint"]
+    assert (
+        redone["sinks"]["traces"]["content_hash"]
+        != manifest["sinks"]["traces"]["content_hash"]
+    )

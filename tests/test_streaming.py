@@ -595,3 +595,33 @@ def test_st6_registry_entry_cleans_its_temp_root(spark):
     n = df.count()
     assert n > 0
     assert df.select("user_id").distinct().count() == n  # latest-per-key
+
+
+def test_stateful_stream_new_generation_wipes_stale_batches(spark, stream_input, tmp_path_factory):
+    """Regression (r5 review): a checkpoint wipe + a DIFFERENT (smaller)
+    input restarts batch ids at 0 — batch 0's signature mismatch marks a
+    new stream generation, and every surviving batch=<id> dir from the
+    previous run must be cleared, or read_state_updates double-counts the
+    old generation's higher-numbered batches beside the new output."""
+    import shutil
+
+    from otel_kafka_pg_spark.streaming.stateful import (
+        read_state_updates,
+        run_conversation_state_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("state_generation"))
+    dest = run_conversation_state_stream(spark, stream_input, out, max_files_per_trigger=2)
+    old_batches = [d for d in os.listdir(dest) if d.startswith("batch=")]
+    assert len(old_batches) >= 3  # needs stale higher-numbered dirs to matter
+    # new generation: smaller input (one file → one batch), fresh checkpoint
+    small_in = str(tmp_path_factory.mktemp("state_gen_small"))
+    spark.read.parquet(stream_input).limit(40).coalesce(1).write.mode("overwrite").parquet(small_in)
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    run_conversation_state_stream(spark, small_in, out, max_files_per_trigger=2)
+    new_batches = sorted(d for d in os.listdir(dest) if d.startswith("batch="))
+    assert "batch=0" in new_batches and len(new_batches) < len(old_batches)
+    got = _final_state_from_dir(spark, dest)
+    batch = _batch_conv_state(spark, small_in)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
