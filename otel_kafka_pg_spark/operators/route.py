@@ -88,11 +88,12 @@ def to_traces(df: DataFrame) -> DataFrame:
         F.coalesce(F.nullif(F.col("call_tool"), F.lit("")), F.lit("unknown")).alias("name"),
         "service_name",
         start.alias("start_time"),
-        # try_cast, not cast: ANSI mode (Spark 4 default) raises
-        # CAST_OVERFLOW on a degenerate parsed duration (dur=1e20ms — the
-        # upstream dur_ms extraction is itself try_cast-tolerant), and one
+        # try_cast AND try_add, not cast/+: ANSI mode (Spark 4 default)
+        # raises CAST_OVERFLOW on a degenerate parsed duration (dur=1e23ms)
+        # and ARITHMETIC_OVERFLOW when a long-representable duration
+        # (~9.2e18) overflows on addition to start_time — either way one
         # bad row must NULL its end_time, not abort the whole pipeline
-        (start + dur.try_cast("long")).alias("end_time"),
+        F.try_add(start, dur.try_cast("long")).alias("end_time"),
         dur.alias("duration"),
         "status",
         attrs.alias("attributes"),

@@ -293,16 +293,20 @@ def compact_sink(spark: SparkSession, path: str, target_mb: int = 512) -> tuple[
     for d in os.listdir(path):
         if os.path.isdir(os.path.join(path, d)) and d.startswith(("_", ".")):
             shutil.copytree(os.path.join(path, d), os.path.join(sidecar_stage, d))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    writer = df.repartition(n_files).write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    for d in os.listdir(sidecar_stage):
-        shutil.copytree(os.path.join(sidecar_stage, d), os.path.join(tmp, d), dirs_exist_ok=True)
-    shutil.rmtree(sidecar_stage, ignore_errors=True)
+    try:
+        df = spark.read.parquet(path)
+        tmp = path.rstrip("/") + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = df.repartition(n_files).write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        for d in os.listdir(sidecar_stage):
+            shutil.copytree(os.path.join(sidecar_stage, d), os.path.join(tmp, d), dirs_exist_ok=True)
+    finally:
+        # a failed rewrite must not leak the staging dir (only a process
+        # KILL can — and the entry-time rmtree above reclaims that)
+        shutil.rmtree(sidecar_stage, ignore_errors=True)
     atomic_swap(tmp, path)
     return before, len(parquet_file_lineage(path))
 

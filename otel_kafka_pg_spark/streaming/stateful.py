@@ -185,6 +185,17 @@ def run_conversation_state_stream(
 
     checkpoint = os.path.join(out_dir, "_checkpoint")
     dest = os.path.join(out_dir, "conv_state")
+    # New-generation detection (r5 review; twin of run_stream's): the
+    # checkpoint WAL precedes any marker, so checkpoint-absent + state
+    # present means a wipe/relocation — clear the previous generation
+    # entirely. This also covers the cases the in-_append_once batch-0
+    # signature heuristic can't see: an old/new generation sharing an
+    # identical batch-0 prefix, and a legacy empty batch-0 marker that
+    # matches any signature.
+    if not os.path.isdir(checkpoint):
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
     updates = conversation_state_stream(spark, input_dir, parse_impl, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

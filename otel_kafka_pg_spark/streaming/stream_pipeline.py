@@ -110,6 +110,19 @@ def run_stream(
         lookup = spark.createDataFrame(service_lookup_pandas())
 
     checkpoint = os.path.join(out_dir, "_checkpoint")
+    # New-generation detection (r5 review): the checkpoint's offset WAL is
+    # written BEFORE foreachBatch runs, so in any real run sink markers
+    # exist only if the checkpoint dir does. Checkpoint absent + sink state
+    # present therefore means the checkpoint was wiped/relocated — batch
+    # ids restart at 0 over possibly different input, and appending beside
+    # the previous generation would silently double-count (sink_counts
+    # rows are aggregates with no dedup identity). Automate the documented
+    # "markers and checkpoint belong together" contract: clear the sinks.
+    if not os.path.isdir(checkpoint):
+        import shutil
+
+        for name in (*SINK_BUILDERS, "sink_counts"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     if source_format == "kafka":
         stream = _kafka_turn_stream(spark, kafka_options or {})
     else:

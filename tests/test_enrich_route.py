@@ -96,3 +96,17 @@ def test_degenerate_duration_nulls_end_time_not_crash(spark):
     assert row["end_time"] is None
     assert row["duration"] == pytest.approx(1e23)
     assert row["start_time"] is not None
+
+
+def test_long_representable_duration_overflowing_addition_nulls_end_time(spark):
+    """Regression (r5 review, confirmed on ANSI): a duration that FITS a
+    long but overflows when ADDED to start_time raised ARITHMETIC_OVERFLOW
+    through plain +; try_add NULLs the sum instead."""
+    big = (
+        "x trace=" + "a" * 32 + " span=" + "b" * 16
+        + " call:bash(a) status=OK dur=9223372036854774784.0ms"
+    )
+    routed = _prep(spark, [("c1", 0, "user", big, "bash", TS)], _conflicting_lookup())
+    row = to_traces(routed).collect()[0]
+    assert row["end_time"] is None
+    assert row["start_time"] is not None

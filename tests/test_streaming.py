@@ -54,10 +54,11 @@ def test_stream_ran_in_multiple_microbatches(spark, stream_input, tmp_path_facto
 
 def test_stream_replay_is_idempotent_via_batch_markers(spark, stream_input, tmp_path_factory):
     """A restart that replays already-committed micro-batches must not
-    duplicate sink rows: per-(sink, batch_id) commit markers skip them.
-    Simulated worst case — wipe the checkpoint entirely (so EVERY batch
-    replays with the same sequential ids) and drain again: all sink counts
-    must be unchanged."""
+    duplicate sink rows. Worst case — wipe the checkpoint entirely and
+    drain again: the new-generation startup wipe clears the sinks and the
+    deterministic reprocess rebuilds them, so all sink counts must be
+    unchanged (marker-skip with a SURVIVING checkpoint is exercised by
+    test_stream_partial_failure_skips_committed_sink)."""
     import shutil
 
     out = str(tmp_path_factory.mktemp("stream_replay"))
@@ -79,8 +80,11 @@ def test_stream_partial_failure_skips_committed_sink(spark, stream_input, tmp_pa
 
     # plant the REAL marker a dying run would have left (same input dir +
     # trigger settings → batch 0 has the same files, hence the same
-    # signature as the reference run's marker)
+    # signature as the reference run's marker) — and the checkpoint dir a
+    # real crash leaves too (the offset WAL precedes foreachBatch), so the
+    # new-generation startup wipe correctly stays out of the way
     out = str(tmp_path_factory.mktemp("stream_partial"))
+    os.makedirs(os.path.join(out, "_checkpoint"))
     marker_dir = os.path.join(out, "logs", "_batches")
     os.makedirs(marker_dir)
     with open(os.path.join(ref, "logs", "_batches", "0.done")) as fh:
@@ -103,8 +107,12 @@ def test_stream_stale_marker_with_different_inputs_is_reprocessed(spark, stream_
     signature (input-file list). A leftover marker whose batch_id collides
     but whose inputs differ — e.g. checkpoint wiped/relocated while sink
     markers survived, then NEW data arrives as batch 0 — must NOT cause a
-    silent skip."""
+    silent skip. The checkpoint dir is planted (relocation = the new
+    checkpoint exists elsewhere; an absent one triggers the startup
+    generation wipe instead) so the signature-mismatch path is the one
+    under test."""
     out = str(tmp_path_factory.mktemp("stream_stale"))
+    os.makedirs(os.path.join(out, "_checkpoint"))
     marker_dir = os.path.join(out, "logs", "_batches")
     os.makedirs(marker_dir)
     with open(os.path.join(marker_dir, "0.done"), "w") as fh:
@@ -323,10 +331,14 @@ def test_stateful_stream_crash_between_data_and_marker_no_duplicates(
 def test_stateful_stream_stale_marker_different_content_reprocessed(spark, stream_input, tmp_path_factory):
     """A leftover marker whose batch id collides but whose signature doesn't
     match the replayed batch's content must NOT cause a silent skip (the
-    stale-marker case of the st1 path, carried over)."""
+    stale-marker case of the st1 path, carried over). The checkpoint dir is
+    planted too (a real crash leaves it — the WAL precedes any marker), so
+    this exercises the _append_once signature-mismatch path rather than the
+    startup generation wipe."""
     from otel_kafka_pg_spark.streaming.stateful import run_conversation_state_stream
 
     out = str(tmp_path_factory.mktemp("state_stale"))
+    os.makedirs(os.path.join(out, "_checkpoint"))
     marker_dir = os.path.join(out, "conv_state", "_batches")
     os.makedirs(marker_dir)
     with open(os.path.join(marker_dir, "0.done"), "w") as fh:
@@ -625,3 +637,31 @@ def test_stateful_stream_new_generation_wipes_stale_batches(spark, stream_input,
     batch = _batch_conv_state(spark, small_in)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_new_generation_replaces_sinks_not_appends(spark, stream_input, tmp_path_factory):
+    """Regression (r5 review): a checkpoint wipe + a DIFFERENT input used
+    to append the new generation's rows beside the old one's — sink_counts
+    rows are aggregates with no dedup identity, so totals double-counted
+    silently. The startup wipe must leave exactly the new input's rows."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("stream_gen"))
+    run_stream(spark, stream_input, out, max_files_per_trigger=2)
+
+    small_in = str(tmp_path_factory.mktemp("stream_gen_small"))
+    spark.read.parquet(stream_input).limit(60).coalesce(1).write.mode("overwrite").parquet(small_in)
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    run_stream(spark, small_in, out, max_files_per_trigger=2)
+
+    batch_out = str(tmp_path_factory.mktemp("stream_gen_batch"))
+    run_pipeline(spark, small_in, batch_out, resume=False)
+    for sink in ("traces", "logs", "metrics"):
+        s = spark.read.parquet(os.path.join(out, sink))
+        b = spark.read.parquet(os.path.join(batch_out, sink))
+        assert s.count() == b.count(), sink
+        assert s.exceptAll(b).count() == 0, sink
+    s_counts = total_sink_counts(spark, out)
+    b_counts = spark.read.parquet(os.path.join(batch_out, "sink_counts"))
+    assert s_counts.exceptAll(b_counts).count() == 0
+    assert b_counts.exceptAll(s_counts).count() == 0
