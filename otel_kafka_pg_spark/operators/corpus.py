@@ -864,15 +864,31 @@ def length_decile_buckets(
         # SAME quantile grid (i/n_buckets) the approx path requests, for
         # EVERY n_buckets (an integer-percent grid only coincides when
         # n_buckets divides 100); identical to the DuckDB oracle's
-        # ceil(q/100.0*n) at the default n_buckets=10
+        # ceil(q/100.0*n) at the default n_buckets=10. ONE cut per grid
+        # index i, not per matching rank ROW: when n < n_buckets several
+        # i collapse onto the same rank, and collecting the row once
+        # would undercount the duplicated cut — the approx path (and the
+        # "count of cuts <= v" bucket contract) duplicates it, so the
+        # exact path must too (rk -> v map, then a transform over the
+        # grid; rk is unique so the map has no duplicate keys).
+        grid = ", ".join(str(i) for i in range(1, n_buckets))
         cuts = (
             ranked.filter(
                 F.expr(
-                    f"exists(array({', '.join(str(i) for i in range(1, n_buckets))}), "
+                    f"exists(array({grid}), "
                     f"i -> rk = (i * n + {n_buckets - 1}) DIV {n_buckets})"
                 )
             )
-            .agg(F.array_sort(F.collect_list("v")).alias("cuts"))
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("rk", "v"))).alias("m"),
+                F.first("n").alias("n"),
+            )
+            .select(
+                F.expr(
+                    f"transform(array({grid}), "
+                    f"i -> m[(i * n + {n_buckets - 1}) DIV {n_buckets}])"
+                ).alias("cuts")
+            )
         )
     else:
         qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])

@@ -1984,12 +1984,16 @@ def pm1_pmi_collocations(spark, sf_dir):
     # sketches with no total order anywhere; the exact path pins the
     # semantics against DuckDB and an agreement test pins approx==exact
     # at this scale (tests/test_corpus.py).
+    # ONE cut per decile q (the CROSS JOIN unnest), not per matching rank
+    # row: when n < 10 several q collapse onto the same rank and the cut
+    # value is duplicated, exactly like the engine's per-grid-index
+    # transform — identical at any n >= n_buckets.
     "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
     "r AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rk, nn.n "
     "FROM documents, nn), "
-    "c AS (SELECT list_sort(list(v)) AS cuts FROM r WHERE "
-    "len(list_filter([10, 20, 30, 40, 50, 60, 70, 80, 90], "
-    "q -> rk = CAST(ceil(q / 100.0 * n) AS BIGINT))) > 0) "
+    "c AS (SELECT list_sort(list(v)) AS cuts FROM r "
+    "CROSS JOIN unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS t(q) "
+    "WHERE rk = CAST(ceil(q / 100.0 * n) AS BIGINT)) "
     "SELECT doc_id, n_chars, "
     "CAST(len(list_filter(cuts, x -> x <= n_chars)) AS BIGINT) AS bucket "
     "FROM documents, c",

@@ -583,6 +583,25 @@ def test_length_decile_buckets_approx_agrees_with_exact_at_sf001(spark):
     assert j.count() == docs.count()
 
 
+def test_length_decile_buckets_small_n_paths_agree(spark):
+    # n < n_buckets collapses several decile ranks onto the same rank; the
+    # exact path must duplicate the coincident cut (one cut per grid index,
+    # not per matching rank row) so it keeps agreeing with the approx
+    # sketch AND the "count of cuts <= v" bucket contract. Regression: a
+    # 1-row frame bucketed 1 (exact) vs 9 (approx) before the fix.
+    from otel_kafka_pg_spark.operators.corpus import length_decile_buckets
+
+    for rows in ([(0, 5)], [(i, 7) for i in range(3)], [(i, i + 1) for i in range(6)]):
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = {r["doc_id"]: r["bucket"] for r in length_decile_buckets(docs).collect()}
+        e = {r["doc_id"]: r["bucket"] for r in length_decile_buckets(docs, exact=True).collect()}
+        assert a == e, rows
+    # all-equal single value: every cut equals it -> everything in the top
+    # bucket on BOTH paths
+    docs = spark.createDataFrame([(i, 7) for i in range(3)], "doc_id long, n_chars long")
+    assert {r["bucket"] for r in length_decile_buckets(docs, exact=True).collect()} == {9}
+
+
 def test_length_decile_buckets_non_divisor_bucket_counts_agree(spark):
     # the two paths must share ONE quantile grid (i/n_buckets) for every
     # n_buckets — an integer-percent grid only coincides when n_buckets
