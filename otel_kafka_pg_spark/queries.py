@@ -3066,18 +3066,31 @@ def st1_stream_ingest_counts(spark, sf_dir):
     # micro-batched foreachBatch ingest of the transcript stream; returns the
     # re-aggregated per-sink counts (tests assert equality with the batch
     # pipeline's counts — the buffer-flush parity gate, consumer.go:188-197)
+    import shutil
     import tempfile
 
     from .sources.synth import load_or_synth_transcripts
     from .streaming.stream_pipeline import run_stream, total_sink_counts
 
-    src = tempfile.mkdtemp(prefix="st1_src_")
-    out = tempfile.mkdtemp(prefix="st1_out_")
-    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    run_stream(spark, src, out, max_files_per_trigger=2)
-    return total_sink_counts(spark, out)
+    # same leak discipline as st6 (round-4 advice): the whole tree lives
+    # under one root; the result is materialized BEFORE the rmtree so the
+    # returned frame holds no lazy read over deleted temp files. Bounded:
+    # the source is the FIXED 6000-turn fixture at every sf, so the
+    # re-aggregated counts frame is ~2k narrow rows regardless of sf_dir.
+    # A production ingest keeps out_dir as a durable sink and never does
+    # this round-trip.
+    root = tempfile.mkdtemp(prefix="st1_")
+    try:
+        src = os.path.join(root, "src")
+        out = os.path.join(root, "out")
+        spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        run_stream(spark, src, out, max_files_per_trigger=2)
+        counts = total_sink_counts(spark, out)
+        return spark.createDataFrame(counts.collect(), counts.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -3088,23 +3101,36 @@ def st1_stream_ingest_counts(spark, sf_dir):
     "count(*) AS cnt FROM routed GROUP BY 1, 2",
 )
 def st2_stream_windowed_severity(spark, sf_dir):
+    import shutil
     import tempfile
 
     from .sources.synth import load_or_synth_transcripts
     from .streaming.stream_pipeline import streaming_severity_counts
 
+    # st3's leak discipline: the temp source copy is deleted once the
+    # drain finishes (the memory sink holds the rows, nothing reads src
+    # after awaitTermination), the sink table name is FIXED so re-runs
+    # replace one temp view, and the result is materialized eagerly so a
+    # later invocation's replace cannot mutate an earlier caller's frame
+    # (bounded: 12 hourly-bucket×severity rows from the fixed fixture).
     src = tempfile.mkdtemp(prefix="st2_src_")
-    spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).write.mode("overwrite").parquet(src)
-    q = (
-        streaming_severity_counts(spark, src)
-        .writeStream.format("memory")
-        .queryName("st2_sev_counts")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql("SELECT * FROM st2_sev_counts")
+    try:
+        spark.read.parquet(load_or_synth_transcripts(6000, seed=42)).write.mode(
+            "overwrite"
+        ).parquet(src)
+        q = (
+            streaming_severity_counts(spark, src)
+            .writeStream.format("memory")
+            .queryName("st2_sev_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.sql("SELECT * FROM st2_sev_counts")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 @register(
