@@ -47,8 +47,17 @@ from ..schemas import PARSED_FIELDS, SEVERITY_NUM_TO_TEXT
 RE_TRACE = r"trace=([0-9a-f]{32})"
 RE_SPAN = r"span=([0-9a-f]{16})"
 RE_PARENT = r"parent=([0-9a-f]{16})"
+# Explicit ASCII word boundaries instead of \b: java.util.regex and CPython
+# re disagree about \b off-ASCII in BOTH directions (hypothesis-found, see
+# the engine-semantics note below), while `(?<![0-9A-Za-z_])token
+# (?![0-9A-Za-z_])` reads identically in Java, CPython, RE2/DuckDB and Go's
+# RE2 (the reference engine's regexp) — one boundary semantics everywhere,
+# and the reference's own semantics at that. On pure-ASCII text (the whole
+# transcript grammar) this is exactly \b.
+_BL = r"(?<![0-9A-Za-z_])"  # ASCII boundary, left of token
+_BR = r"(?![0-9A-Za-z_])"  # ASCII boundary, right of token
 # lookbehind: the ERROR in "status=ERROR" is a status value, not a severity
-RE_SEV_TOK = r"(?<!status=)\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b"
+RE_SEV_TOK = r"(?<!status=)" + _BL + r"(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)" + _BR
 RE_SEV_NUM = r"severity_number=([0-9]+)"
 RE_CALL = r"call:([A-Za-z_][A-Za-z0-9_]*)\("
 RE_STATUS = r"status=(OK|ERROR)"
@@ -62,7 +71,7 @@ RE_MARKERS = (
     r"(trace=[0-9a-f]{32}|span=[0-9a-f]{16}|parent=[0-9a-f]{16}"
     r"|call:[A-Za-z_][A-Za-z0-9_]*\([^)]*\)|status=(?:OK|ERROR)|dur=[0-9.]+ms"
     r"|severity_number=[0-9]+|metric:[A-Za-z_][A-Za-z0-9_]*=[-0-9.]+"
-    r"|\b(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b)"
+    r"|" + _BL + r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)" + _BR + r")"
 )
 
 
@@ -99,18 +108,19 @@ def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # Engine-semantics note (measured on Spark 4.1 / CPython 3.x, pinned by
-# tests/test_parse.py::test_native_pandas_agree_on_nonascii_word_boundaries):
-# java.util.regex \b is UNICODE-aware even without UNICODE_CHARACTER_CLASS
-# (the well-known \b/\w inconsistency in the JDK), exactly like Python's
-# default \b — so the \b-containing patterns (RE_SEV_TOK, RE_MARKERS) must
-# run UNFLAGGED on the Python side ("caféINFO"/"日本語WARN" have no boundary
-# in EITHER engine). Java \s however is ASCII-only ([ \t\n\x0B\f\r]) while
-# Python \s is Unicode-aware (\xa0 etc.), so the whitespace-collapse step
-# alone is pinned ASCII with (?a); F.trim is space-only, so the twin strips
-# " " rather than Python's default unicode-whitespace strip.
-# (DuckDB/RE2 — the oracle engine — has an ASCII \b; the oracles stay exact
-# because the synthetic transcript grammar is ASCII-only. Off-ASCII input
-# the binding contract is native==pandas, pinned by the test above.)
+# tests/test_parse.py::test_native_pandas_agree_on_nonascii_word_boundaries
+# and the hypothesis property test_parse_twins_identical_on_woven_unicode):
+# java.util.regex \b and CPython \b DIVERGE off-ASCII in both directions —
+# the JDK's Bound.check treats a NON_SPACING_MARK riding a letter/digit
+# base as a word char ("INFOᤠ": no boundary in Java, boundary in
+# Python), while Python's \w includes Nl/No numerics ("INFO½":
+# boundary in Java, none in Python). Both patterns therefore use the
+# explicit ASCII classes _BL/_BR above, which ALL FOUR engines (Java,
+# CPython, DuckDB/RE2 oracle, the reference's Go RE2) read identically on
+# any input. Java \s is ASCII-only ([ \t\n\x0B\f\r]) while Python \s is
+# Unicode-aware (\xa0 etc.), so the whitespace-collapse step is pinned
+# ASCII with (?a); F.trim is space-only, so the twin strips " " rather
+# than Python's default unicode-whitespace strip.
 _ASCII = "(?a)"
 
 

@@ -128,6 +128,7 @@ def test_fuzz_differential_adversarial_texts(spark):
         "TRACE", "DEBUGGING", "xERROR", "ERRORx", "FATAL", "INFOINFO",
         "ERROR", "WARN", "ÜNICÖDE", "日本語テキスト", "", " ", "\t",
         "status=ERROR FATAL", "severity_number=17 DEBUG",
+        "INFOᤠ", "ᤠINFO", "INFO½", "ⅫERROR",  # \b-divergence regressions
     ]
     texts = []
     for _ in range(400):
@@ -141,29 +142,39 @@ def test_fuzz_differential_adversarial_texts(spark):
 
 
 def test_native_pandas_agree_on_nonascii_word_boundaries(spark):
-    """Regression (r5 review): the twin contract must hold off-ASCII.
-    Measured engine semantics: java.util.regex \\b is Unicode-aware (like
-    Python's default — 'caféINFO'/'日本語WARN' have NO boundary in either),
-    but Java \\s is ASCII-only while Python's is Unicode (\\xa0), and
-    F.trim is space-only vs Python strip()'s unicode whitespace. The
-    pandas twin pins (?a) on the \\s-collapse and strips ' ' only, and
-    leaves the \\b patterns unflagged."""
+    """Regression (r5 review + hypothesis fuzz): the twin contract must hold
+    off-ASCII. Java \\b and Python \\b diverge off-ASCII in BOTH directions
+    (JDK Bound.check treats Mn-riding-a-letter as word — 'INFOᤠ'; Python \\w
+    includes Nl/No numerics — 'INFO½'), so both impls use explicit ASCII
+    boundary classes — the reference's own Go-RE2 semantics, and the DuckDB
+    oracle's. Java \\s is ASCII-only while Python's is Unicode (\\xa0), and
+    F.trim is space-only vs Python strip()'s unicode whitespace; the pandas
+    twin pins (?a) on the \\s-collapse and strips ' ' only."""
     texts = [
-        "caféINFO",  # unicode word char abutting a severity token
+        "caféINFO",  # unicode letter abutting a token: ASCII boundary fires
         "café INFO au lait",
         "x\xa0INFO\xa0y",  # NBSP must NOT count as \s or be trimmed
         "résumé status=ERROR dur=1.5ms",
         "naïveFATAL trace=" + "a" * 32 + " span=" + "b" * 16,
         "INFO\xa0",
         "日本語WARN",
+        "INFOᤠ",  # Mn-with-base: Java-\b word, Python-\b boundary
+        "ᤠINFO",  # leading Mn with no base
+        "xᤠᤠINFO",  # Mn RUN with a word base before it
+        "INFO½",  # No numeric: Python-\b word, Java-\b boundary
+        "Ⅻ" + "ERROR",  # Nl numeral abutting a token
     ]
     df = _df(spark, texts)
     a = parse_turns_native(df).select("turn_idx", *PARSE_COLS)
     b = parse_turns_pandas(df).select("turn_idx", *PARSE_COLS)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
-    # Unicode-\b semantics in force on both sides: 語 breaks no boundary,
-    # so WARN is not a severity token here (falls back to default INFO)
+    # ASCII-boundary semantics in force on both sides (RE2/grok behavior,
+    # reference parity): 語 is not [0-9A-Za-z_], so WARN IS a severity
+    # token here and is stripped from the message
     one = _parse_one(spark, "日本語WARN")
+    assert one["severity"] == "WARN"
+    assert one["message"] == "日本語"
+    one = _parse_one(spark, "INFOᤠ")
     assert one["severity"] == "INFO"
-    assert one["message"] == "日本語WARN"
+    assert one["message"] == "ᤠ"

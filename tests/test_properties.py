@@ -204,3 +204,48 @@ def test_quantize_embeddings_matches_numpy_reference(spark, vecs):
         assert scale == maxabs / 127.0
         for c, x in zip(got[i]["q"], arr):
             assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+# parse-marker fragments woven into random unicode: hypothesis drives BOTH
+# the fragment choice and the surrounding text, so boundary interactions
+# (a token glued to a unicode word char, markers inside whitespace runs,
+# truncated hex ids) are explored far beyond the seeded 400-case fuzz in
+# test_parse.py. The property is the twin contract itself: the pandas/Arrow
+# parse must be row-identical to the native codegen parse on ANY input.
+_markers = st.sampled_from(
+    [
+        "", " ", "INFO", "ERROR", "FATAL", "WARN", "TRACE", "DEBUG",
+        "status=OK", "status=ERROR", "status=OKAY",
+        "severity_number=5", "severity_number=17", "severity_number=",
+        "trace=" + "a" * 32, "trace=" + "a" * 31, "span=" + "b" * 16,
+        "parent=" + "c" * 16, "call:search(q)", "call:(", "dur=1.5ms",
+        "dur=ms", "metric:v=1.25", "metric:v=-7.5", "metric:v=",
+    ]
+)
+_woven = st.lists(st.tuples(texts, _markers), min_size=1, max_size=4).map(
+    lambda parts: "".join(t + m for t, m in parts)
+)
+
+
+@SET
+@given(st.lists(_woven, min_size=1, max_size=10))
+def test_parse_twins_identical_on_woven_unicode(spark, docs):
+    import datetime as dt
+
+    from otel_kafka_pg_spark.functions.parse import (
+        parse_turns_native,
+        parse_turns_pandas,
+    )
+    from otel_kafka_pg_spark.schemas import TRANSCRIPTS
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [("c1", i, "user", t, "bash", ts) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, TRANSCRIPTS)
+    cols = [
+        "turn_idx", "trace_id", "span_id", "parent_span_id", "severity",
+        "status", "call_tool", "dur_ms", "metric_name", "metric_value",
+        "message",
+    ]
+    a = parse_turns_native(df).select(*cols)
+    b = parse_turns_pandas(df).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, docs
