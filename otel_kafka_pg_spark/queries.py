@@ -1116,6 +1116,29 @@ def dd3_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
+def _jaccard_inv(sh: str) -> str:
+    """Inverted-index CTEs for exact pairwise n-gram Jaccard over the
+    shingle CTE ``sh`` (columns doc_id, s = distinct shingle list).
+
+    Row-for-row identical to the quadratic ``sh a JOIN sh b ON a.doc_id <
+    b.doc_id`` + ``list_intersect`` form (|A∪B| = |A|+|B|−|A∩B|, and both
+    forms divide the same integers, so the doubles are bit-identical), but
+    linear in total postings instead of O(n²) in docs — the same
+    inverted-index move the Spark MinHash-LSH operator itself makes.
+    Measured on the cc1 oracle: 21.6 s → 0.35 s at sf0.01; DuckDB
+    watchdog-timeout → ~6 s at sf0.1. Consumers join ``inter`` (pa, pb,
+    i = |A∩B|) with ``cnt`` (doc_id, n = |set|) and filter on
+    ``i / (ca.n + cb.n - i)``. Zero-intersection pairs never materialize
+    in either form (ratio 0 fails every threshold).
+    """
+    return (
+        f"ex AS (SELECT doc_id, unnest(s) AS g FROM {sh}), "
+        f"cnt AS (SELECT doc_id, len(s) AS n FROM {sh}), "
+        "inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS i "
+        "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+
+
 @register(
     "dd3b_minhash_lsh_highsim",
     # full brute-force pairwise Jaccard as the oracle: at threshold 0.7 with
@@ -1125,11 +1148,11 @@ def dd3_minhash_lsh_pairs(spark, sf_dir):
     "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), "
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ("
     "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
-    "WHERE len(t) >= 3) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.7",
+    "WHERE len(t) >= 3), "
+    + _jaccard_inv("sh")
+    + " SELECT pa AS id_a, pb AS id_b, round(i / (ca.n + cb.n - i), 4) AS jaccard "
+    "FROM inter JOIN cnt ca ON ca.doc_id = pa JOIN cnt cb ON cb.doc_id = pb "
+    "WHERE round(i / (ca.n + cb.n - i), 4) >= 0.7",
 )
 def dd3b_minhash_lsh_highsim(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16)
@@ -1148,8 +1171,10 @@ def dd3b_minhash_lsh_highsim(spark, sf_dir):
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ("
     "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents) "
     "WHERE len(t) >= 3), "
-    "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.7), "
+    + _jaccard_inv("sh")
+    + ", pairs AS (SELECT pa, pb FROM inter "
+    "JOIN cnt ca ON ca.doc_id = pa JOIN cnt cb ON cb.doc_id = pb "
+    "WHERE round(i / (ca.n + cb.n - i), 4) >= 0.7), "
     "edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs), "
     "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "
     "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node) "
@@ -1601,8 +1626,10 @@ _DP2_LANG_EN = (
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
     "ELSE [array_to_string(t, ' ')] END AS s FROM "
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
-    "near AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6) "
+    + _jaccard_inv("sh")
+    + ", near AS (SELECT DISTINCT pb AS doc_id FROM inter "
+    "JOIN cnt ca ON ca.doc_id = pa JOIN cnt cb ON cb.doc_id = pb "
+    "WHERE i / (ca.n + cb.n - i) >= 0.6) "
     "SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM near) ORDER BY doc_id",
 )
 def dp2_corpus_prep_full(spark, sf_dir):
@@ -1640,8 +1667,10 @@ def dp2_corpus_prep_full(spark, sf_dir):
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
     "ELSE [array_to_string(t, ' ')] END AS s FROM "
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
-    "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6), "
+    + _jaccard_inv("sh")
+    + ", pairs AS (SELECT pa, pb FROM inter "
+    "JOIN cnt ca ON ca.doc_id = pa JOIN cnt cb ON cb.doc_id = pb "
+    "WHERE i / (ca.n + cb.n - i) >= 0.6), "
     "edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs), "
     "reach(node, r) AS (SELECT doc_id, doc_id FROM kept "
     "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node) "
@@ -1687,8 +1716,10 @@ def dp3_corpus_prep_clustered(spark, sf_dir):
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
     "ELSE [array_to_string(t, ' ')] END AS s FROM "
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept)), "
-    "prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM shg a JOIN shg b ON a.doc_id < b.doc_id "
-    "WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6), "
+    + _jaccard_inv("shg")
+    + ", prs AS (SELECT pa, pb FROM inter "
+    "JOIN cnt ca ON ca.doc_id = pa JOIN cnt cb ON cb.doc_id = pb "
+    "WHERE i / (ca.n + cb.n - i) >= 0.6), "
     "edges AS (SELECT pa AS ea, pb AS eb FROM prs UNION ALL SELECT pb, pa FROM prs), "
     "reach(node, r) AS (SELECT doc_id, doc_id FROM kept "
     "UNION SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.node), "
