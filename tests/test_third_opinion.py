@@ -1,0 +1,102 @@
+"""Third-opinion oracles: pure-Python/pandas reimplementations of two
+integer-exact window entries, independent of BOTH engines.
+
+The DuckDB differential catches a Spark bug; it cannot catch a SHARED
+misunderstanding — the same wrong formula encoded in the Spark operator
+and its oracle SQL by the same author. These twins rebuild pm1 (quantized
+PMI collocations) and ds1 (DSIR importance ratios) from their published
+definitions with Python ints (arbitrary precision, exact floor division)
+and hashlib md5 — no Spark, no DuckDB — and assert equality with the
+engine output at driver scale.
+
+Faithfulness note: Spark tokenizes via split(trim(lower(text)), '\\s+')
+with Java's ASCII \\s; the sf0.01 corpus is verified all-ASCII (asserted
+below), so Python's re.split on the same ASCII class is exact — the
+third opinion targets the counting/arithmetic where a shared bug would
+live, on the same token stream all three implementations agree on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from otel_kafka_pg_spark.queries import all_queries
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text.strip().lower()) if t != ""]
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert pdf["text"].map(lambda s: s.isascii()).all(), (
+        "corpus grew non-ASCII text — re-derive the tokenizer equivalence "
+        "before trusting this third opinion"
+    )
+    return pdf
+
+
+def test_pm1_pmi_collocations_pandas_third_opinion(spark, sf_dir, docs):
+    k, min_count = 50, 5
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for text in docs["text"]:
+        toks = _tokens(text)
+        uni.update(toks)
+        if len(toks) >= 2:
+            pairs.update(zip(toks, toks[1:]))
+    n_tokens = sum(uni.values())
+    rows = []
+    for (w1, w2), c12 in pairs.items():
+        if c12 < min_count:
+            continue
+        c1, c2 = uni[w1], uni[w2]
+        rows.append((w1, w2, c12, c1, c2, (c12 * n_tokens * 1000) // (c1 * c2)))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    expected = rows[:k]
+
+    got = all_queries()["pm1_pmi_collocations"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == expected
+
+
+def test_ds1_importance_ratio_pandas_third_opinion(spark, sf_dir, docs):
+    n_buckets = 1024
+
+    def bucket(tok: str) -> int:
+        # functions/text.py:md5_60bit — first 15 hex digits → 60-bit int
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    per_doc: dict[int, Counter] = {}
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    for doc_id, text, lang in zip(docs["doc_id"], docs["text"], docs["lang"]):
+        bs = [bucket(t) for t in _tokens(text)]
+        if not bs:
+            continue  # no token rows → doc absent from the grouped frame
+        per_doc[doc_id] = Counter(bs)
+        c_r.update(bs)
+        if lang == "en":
+            c_t.update(bs)
+    expected = {}
+    for doc_id, cnt in per_doc.items():
+        n_toks = sum(cnt.values())
+        s_t = sum(n * (c_t.get(b, 0) + 1) for b, n in cnt.items())
+        s_r = sum(n * (c_r[b] + 1) for b, n in cnt.items())
+        # Python round() is banker's, Spark F.round is HALF_UP: they only
+        # differ on exact .5 midpoints at the 7th digit, which the integer
+        # quotients here never hit (an actual midpoint would fail loudly)
+        expected[doc_id] = (n_toks, s_t, s_r, round(s_t / s_r, 6))
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["sum_target"], r["sum_raw"], r["ratio"])
+        for r in all_queries()["ds1_importance_ratio"](spark, sf_dir).collect()
+    }
+    assert got == expected
