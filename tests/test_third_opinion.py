@@ -100,3 +100,37 @@ def test_ds1_importance_ratio_pandas_third_opinion(spark, sf_dir, docs):
         for r in all_queries()["ds1_importance_ratio"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sm2_mixture_sample_pandas_third_opinion(spark, sf_dir, docs):
+    import math
+
+    total = 200
+    counts = docs.groupby("source")["doc_id"].count()
+    # mirror the engine arithmetic exactly: floor(IEEE sqrt), then one
+    # float division under floor (Spark's `/` is double division)
+    isq = {s: math.floor(math.sqrt(n)) for s, n in counts.items()}
+    S = sum(isq.values())
+    quota = {s: max(math.floor(total * q / S), 1) for s, q in isq.items()}
+    expected = set()
+    for s, grp in docs.groupby("source"):
+        ranked = sorted(
+            grp["doc_id"], key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        for rn, d in enumerate(ranked[: quota[s]], start=1):
+            expected.add((s, d, rn, quota[s]))
+
+    got = all_queries()["sm2_mixture_sample"](spark, sf_dir).collect()
+    assert {tuple(r) for r in got} == expected
+
+
+def test_sp1_hash_split_pandas_third_opinion(spark, sf_dir, docs):
+    def split(doc_id) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    expected = {(d, split(d)) for d in docs["doc_id"]}
+    got = all_queries()["sp1_hash_split"](spark, sf_dir).collect()
+    assert {tuple(r) for r in got} == expected
+    # sanity: all three splits non-empty at 500 docs (p_miss < 1e-11)
+    assert {s for _, s in expected} == {"train", "val", "test"}
