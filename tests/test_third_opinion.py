@@ -134,3 +134,42 @@ def test_sp1_hash_split_pandas_third_opinion(spark, sf_dir, docs):
     assert {tuple(r) for r in got} == expected
     # sanity: all three splits non-empty at 500 docs (p_miss < 1e-11)
     assert {s for _, s in expected} == {"train", "val", "test"}
+
+
+@pytest.fixture(scope="module")
+def events(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_cal1_calendar_profile_python_third_opinion(spark, sf_dir, events):
+    """Day-numbering conventions are the canonical shared-bug zone (three
+    different 'weekday' definitions across engines); Python's
+    datetime.weekday() is the independent ISO authority here."""
+    grid: Counter = Counter()
+    for ts in events["ts"]:
+        py = ts.to_pydatetime()
+        grid[(py.weekday() + 1, py.hour)] += 1  # ISO 1=Monday..7=Sunday
+    got = {
+        (r["isodow"], r["hour"]): r["n"]
+        for r in all_queries()["cal1_calendar_profile"](spark, sf_dir).collect()
+    }
+    assert got == dict(grid)
+
+
+def test_rt1_cohort_retention_python_third_opinion(spark, sf_dir, events):
+    """Week-offset bucketing = floor(calendar-day difference / 7) — the
+    date-difference convention (calendar days, not 86400-second spans,
+    which differ across DST in tz-aware engines) re-derived with
+    datetime.date subtraction."""
+    first = events.groupby("user_id")["ts"].min().dt.date
+    grid: dict = {}
+    for uid, ts in zip(events["user_id"], events["ts"]):
+        cohort = first[uid]
+        week = (ts.date() - cohort).days // 7
+        grid.setdefault((cohort, week), set()).add(uid)
+    expected = {k: len(v) for k, v in grid.items()}
+    got = {
+        (r["cohort_day"].date(), r["week_offset"]): r["active_users"]
+        for r in all_queries()["rt1_cohort_retention"](spark, sf_dir).collect()
+    }
+    assert got == expected
