@@ -173,3 +173,30 @@ def test_rt1_cohort_retention_python_third_opinion(spark, sf_dir, events):
         for r in all_queries()["rt1_cohort_retention"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_w4_session_window_python_third_opinion(spark, sf_dir, events):
+    """Native session_window is engine-implemented merge logic (a new
+    session starts when the gap since the PREVIOUS event is >= the 30 min
+    gap — an event exactly AT the previous end is a new session, since
+    windows are [start, end) with end = last_event + gap). Re-derived
+    with an explicit Python sweep per user."""
+    import datetime as dt
+
+    gap = dt.timedelta(minutes=30)
+    expected = set()
+    for uid, grp in events.groupby("user_id"):
+        ts_sorted = sorted(t.to_pydatetime() for t in grp["ts"])
+        start, prev, n = ts_sorted[0], ts_sorted[0], 1
+        for t in ts_sorted[1:]:
+            if t - prev >= gap:
+                expected.add((uid, start, prev + gap, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        expected.add((uid, start, prev + gap, n))
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in all_queries()["w4_session_window"](spark, sf_dir).collect()
+    }
+    assert got == expected
