@@ -200,3 +200,60 @@ def test_w4_session_window_python_third_opinion(spark, sf_dir, events):
         for r in all_queries()["w4_session_window"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sv1_conversion_percentiles_python_third_opinion(spark, sf_dir, events):
+    """Discrete-percentile convention: the value at rank ceil(q/100·n) of
+    the ascending per-converting-user whole-second deltas (epoch-second
+    floor on each endpoint BEFORE subtracting, not floor of the float
+    difference)."""
+    import math
+
+    deltas = []
+    for uid, grp in events.groupby("user_id"):
+        signups = grp.loc[grp["event_type"] == "signup", "ts"]
+        if signups.empty:
+            continue
+        t1 = signups.min()
+        purchases = grp.loc[(grp["event_type"] == "purchase") & (grp["ts"] > t1), "ts"]
+        if purchases.empty:
+            continue
+        t2 = purchases.min()
+        deltas.append(int(t2.value // 10**9) - int(t1.value // 10**9))
+    deltas.sort()
+    n = len(deltas)
+    assert n > 0, "corpus lost its converting users — test is vacuous"
+    expected = {(q, deltas[math.ceil(q / 100 * n) - 1]) for q in (50, 90)}
+    got = {
+        (r["pct"], r["seconds"])
+        for r in all_queries()["sv1_conversion_time_percentiles"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_fe1_rfm_features_python_third_opinion(spark, sf_dir, events):
+    """Monetary cents use HALF_UP rounding of the double (Spark F.round /
+    DuckDB round semantics) — replicated via Decimal ROUND_HALF_UP, NOT
+    Python's banker's round(); recency is a calendar-day difference to
+    the corpus anchor (max last_ts)."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def cents(v: float) -> int:
+        return int(Decimal(v * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    per_user = {}
+    for uid, grp in events.groupby("user_id"):
+        per_user[uid] = (
+            grp["ts"].max(),
+            len(grp),
+            sum(cents(v) for v in grp["value"]),
+        )
+    anchor = max(t for t, _, _ in per_user.values()).date()
+    expected = {
+        uid: ((anchor - t.date()).days, f, m) for uid, (t, f, m) in per_user.items()
+    }
+    got = {
+        r["user_id"]: (r["recency_days"], r["frequency"], r["monetary_cents"])
+        for r in all_queries()["fe1_rfm_features"](spark, sf_dir).collect()
+    }
+    assert got == expected
