@@ -65,3 +65,27 @@ def test_rows_only_runs(spark, name, fn):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+def test_normalize_comparator_negative_controls():
+    """The gate itself must be falsifiable: a comparator whose sort or
+    stringification collapsed distinct frames would turn every green above
+    vacuous. Planted drifts — one value, one sign, one shifted float ulp
+    past the rounding grid, a swapped column ASSIGNMENT (same names) —
+    must all compare unequal; row order and column ORDER must not."""
+    base = pd.DataFrame({"a": [1, 2, 3], "b": [1.25, -0.5, float("nan")]})
+    same_reordered = pd.DataFrame({"b": [float("nan"), 1.25, -0.5], "a": [3, 1, 2]})
+    assert _normalize(base) == _normalize(same_reordered)
+
+    drift_value = base.copy(); drift_value.loc[1, "a"] = 99
+    drift_sign = base.copy(); drift_sign.loc[0, "b"] = -1.25
+    drift_float = base.copy(); drift_float.loc[0, "b"] = 1.2500015  # > 1e-6 grid
+    swapped_cols = pd.DataFrame({"a": base["b"], "b": base["a"]})
+    null_vs_zero = base.copy(); null_vs_zero.loc[2, "b"] = 0.0
+    for broken in (drift_value, drift_sign, drift_float, swapped_cols, null_vs_zero):
+        assert _normalize(broken) != _normalize(base)
+
+    # sub-grid float noise (past the 6-decimal round) must NOT trip it:
+    # that tolerance is what lets IEEE-equal pipelines hash identically
+    noise = base.copy(); noise.loc[0, "b"] = 1.2500000001
+    assert _normalize(noise) == _normalize(base)
