@@ -257,3 +257,25 @@ def test_fe1_rfm_features_python_third_opinion(spark, sf_dir, events):
         for r in all_queries()["fe1_rfm_features"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_tx1_text_normalize_python_third_opinion(spark, sf_dir, docs):
+    """Byte-level normalization contract: control-strip (explicit C0/DEL
+    class), ASCII-whitespace collapse, space trim — re-derived with
+    Python re on the verified-ASCII corpus and compared via the same
+    sha256, so a one-byte divergence anywhere fails."""
+    ctrl = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    ws = _WS  # same ASCII \s class as the tokenizer
+
+    def clean(s: str) -> str:
+        return ws.sub(" ", ctrl.sub("", s)).strip(" ")
+
+    expected = {
+        d: (hashlib.sha256(clean(t).encode()).hexdigest(), len(t) - len(clean(t)))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    got = {
+        r["doc_id"]: (r["clean_sha"], r["n_removed"])
+        for r in all_queries()["tx1_text_normalize"](spark, sf_dir).collect()
+    }
+    assert got == expected
